@@ -1,0 +1,140 @@
+// Native ground-truth world simulator (C++), role-equivalent to the
+// reference's C++ env layer (src/PointMassEnv.cpp + MuJoCo 2.00): the
+// host-side "real world" the TPU controller is closed against.
+//
+// Physics is the MuJoCo-equivalent decoupled per-axis linear ODE
+//     (m + armature) * qdd = gear * clamp(u, +-ctrl_range) - damping * qd
+// integrated with RK4 at `timestep` (see mppi_gpu_tpu/envs/params.py for the
+// derivation from the reference XMLs). Exposed as a plain C API consumed via
+// ctypes (mppi_gpu_tpu/envs/native.py). The pure-JAX world
+// (envs/point_mass_world.py) implements identical semantics; the two are
+// cross-checked in tests/test_envs.py.
+//
+// Build:  g++ -O2 -shared -fPIC -o libmppiworld.so world.cpp   (or `make`)
+
+#include <cmath>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+constexpr int kMaxAxes = 8;
+
+struct Params {
+  int n_axes;
+  float mass;
+  float armature;
+  float damping;
+  float gear;
+  float ctrl_range;
+  float joint_range;
+  float timestep;
+  float control_period;
+  float sim_end;
+};
+
+struct World {
+  Params p;
+  float q[kMaxAxes];
+  float qd[kMaxAxes];
+  float time;
+  int steps_per_control;
+};
+
+inline float accel(const Params& p, float qd, float u) {
+  return (p.gear * u - p.damping * qd) / (p.mass + p.armature);
+}
+
+inline float clampf(float v, float lo, float hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+// One RK4 step of the decoupled linear system, all axes.
+void physics_step(World* w, const float* u_in) {
+  const Params& p = w->p;
+  const float h = p.timestep;
+  for (int i = 0; i < p.n_axes; ++i) {
+    const float u = clampf(u_in[i], -p.ctrl_range, p.ctrl_range);
+    const float q = w->q[i];
+    const float qd = w->qd[i];
+
+    const float k1q = qd, k1v = accel(p, qd, u);
+    const float k2q = qd + 0.5f * h * k1v, k2v = accel(p, qd + 0.5f * h * k1v, u);
+    const float k3q = qd + 0.5f * h * k2v, k3v = accel(p, qd + 0.5f * h * k2v, u);
+    const float k4q = qd + h * k3v, k4v = accel(p, qd + h * k3v, u);
+
+    float q_new = q + (h / 6.0f) * (k1q + 2.0f * k2q + 2.0f * k3q + k4q);
+    float qd_new = qd + (h / 6.0f) * (k1v + 2.0f * k2v + 2.0f * k3v + k4v);
+
+    // hard joint-limit clamp with velocity zeroing at the stop
+    if (q_new > p.joint_range || q_new < -p.joint_range) {
+      q_new = clampf(q_new, -p.joint_range, p.joint_range);
+      qd_new = 0.0f;
+    }
+    w->q[i] = q_new;
+    w->qd[i] = qd_new;
+  }
+  w->time += h;
+}
+
+}  // namespace
+
+extern "C" {
+
+World* mppi_world_create(int n_axes, float mass, float armature, float damping,
+                         float gear, float ctrl_range, float joint_range,
+                         float timestep, float control_period, float sim_end) {
+  if (n_axes < 1 || n_axes > kMaxAxes) return nullptr;
+  World* w = static_cast<World*>(std::calloc(1, sizeof(World)));
+  if (!w) return nullptr;
+  w->p = Params{n_axes, mass,     armature,       damping, gear,
+                ctrl_range,       joint_range,    timestep,
+                control_period,   sim_end};
+  w->steps_per_control =
+      static_cast<int>(std::ceil(control_period / timestep - 1e-9));
+  // warm-up state: origin, at rest, time = one physics step
+  // (matches the reference's constructor mj_step, PointMassEnv.cpp:94)
+  w->time = timestep;
+  return w;
+}
+
+void mppi_world_destroy(World* w) { std::free(w); }
+
+void mppi_world_reset(World* w) {
+  std::memset(w->q, 0, sizeof(w->q));
+  std::memset(w->qd, 0, sizeof(w->qd));
+  w->time = w->p.timestep;
+}
+
+// One control cycle: hold u for `control_period` of sim time. Returns 1 when
+// the episode is over (checked before stepping, like PointMassEnv::simulate).
+int mppi_world_simulate(World* w, const float* u) {
+  if (w->time >= w->p.sim_end) return 1;
+  for (int s = 0; s < w->steps_per_control; ++s) physics_step(w, u);
+  return 0;
+}
+
+// Single physics step (reference PointMassEnv::step).
+void mppi_world_step(World* w, const float* u) { physics_step(w, u); }
+
+void mppi_world_get_x(World* w, float* x) {
+  for (int i = 0; i < w->p.n_axes; ++i) x[i] = w->q[i];
+  for (int i = 0; i < w->p.n_axes; ++i) x[w->p.n_axes + i] = w->qd[i];
+}
+
+float mppi_world_time(World* w) { return w->time; }
+
+int mppi_world_steps_per_control(World* w) { return w->steps_per_control; }
+
+// Open-loop rollout for the model-mismatch harness: apply u_seq[(n, a)] one
+// control cycle each, recording [x0; x1; ...; xn] into traj[(n+1, 2a)].
+void mppi_world_rollout(World* w, const float* u_seq, int n, float* traj) {
+  const int d = 2 * w->p.n_axes;
+  mppi_world_get_x(w, traj);
+  for (int t = 0; t < n; ++t) {
+    mppi_world_simulate(w, u_seq + t * w->p.n_axes);
+    mppi_world_get_x(w, traj + (t + 1) * d);
+  }
+}
+
+}  // extern "C"

@@ -1,0 +1,224 @@
+"""MPPI controller: the full solve as ONE jitted XLA program.
+
+The reference performs one control solve as ~2T+10 separate kernel launches
+with host synchronization between phases (reference src/point_mass.cu:129-203:
+sim → beta ladder → exp → nabla ladder → weights → per-t update_act ladder →
+shift). Here the entire phase sequence is a single pure function under `jit`:
+XLA fuses the softmin pipeline, the weighted-noise update is one K×(T·A)
+contraction (MXU-shaped — this was the reference's flagged bottleneck,
+src/point_mass.cu:187), and nothing round-trips to the host.
+
+Phase mapping (reference → here):
+    sim_gpu_kernel_      → ops.rollout.rollout_costs (lax.scan over T) or the
+                           fused Pallas kernel (ops.pallas_rollout)
+    beta/exp/nabla/weights → ops.softmin.softmin_weights
+    update_act + copy_act  → one einsum  U += Σ_k w_k ε_k
+    (new, wired)           → clamp to ±max_a
+    shift_act              → roll-by-one with repeated last step
+                             (src/point_mass.cu:805-824 semantics)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mppi_gpu_tpu.config import MPPIConfig
+from mppi_gpu_tpu.models.base import Dynamics
+from mppi_gpu_tpu.models.point_mass import PointMassLTI
+from mppi_gpu_tpu.ops.cost import Cost, make_cost
+from mppi_gpu_tpu.ops.rollout import rollout_costs
+from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+
+class SolveInfo(NamedTuple):
+    """Per-solve diagnostics — the analog of the reference's `get_inf` bulk
+    download (src/point_mass.cu:236-262). All values are local to the shard
+    when running under a mesh, except beta/eta which are global."""
+
+    costs: jax.Array    # (K,) per-rollout total cost S_k
+    beta: jax.Array     # scalar: min_k S_k
+    eta: jax.Array      # scalar: Σ_k exp(−(S_k−β)/λ)
+    weights: jax.Array  # (K,) softmin weights
+    u_seq: jax.Array    # (T, a) updated nominal sequence BEFORE the shift
+
+
+class SolveResult(NamedTuple):
+    action: jax.Array   # (a,) — U_new[0], the action to execute now
+    u_next: jax.Array   # (T, a) — shifted sequence for the next solve
+    info: SolveInfo
+
+
+def sample_noise(
+    key: jax.Array, T: int, K: int, action_dim: int, sigma: jax.Array
+) -> jax.Array:
+    """ε ~ N(0, diag(σ²)), shape (T, K, a). Counter-based threefry: fully
+    deterministic given the key — replaces the reference's stateful cuRAND
+    per-thread states (src/point_mass.cu:780) with replayable keys."""
+    return sigma * jax.random.normal(key, (T, K, action_dim), jnp.float32)
+
+
+def shift_action_seq(u_seq: jax.Array) -> jax.Array:
+    """Receding-horizon shift with repeated last action
+    (reference `shift_act`, src/point_mass.cu:805-824)."""
+    return jnp.concatenate([u_seq[1:], u_seq[-1:]], axis=0)
+
+
+def solve_from_costs(
+    S: jax.Array,           # (K,) rollout costs
+    eps: jax.Array,         # (T, K, a) the noise that produced them
+    U: jax.Array,           # (T, a) nominal sequence
+    lambda_: jax.Array,
+    max_a: jax.Array,       # (a,)
+    *,
+    clamp: bool,
+    axis_name: str | None = None,
+) -> SolveResult:
+    """Softmin-weighted update + clamp + shift. Shared tail for every rollout
+    backend (scan / Pallas) and every execution mode (single chip / mesh)."""
+    sm = softmin_weights(S, lambda_, axis_name=axis_name)
+    # U[t] += Σ_k w_k ε_k[t]  — the reference's per-t reduction ladder
+    # (update_act_kernel + sum_red_adim, src/point_mass.cu:668-741, 828-926)
+    # collapsed into one contraction over K.
+    dU = jnp.einsum("tka,k->ta", eps, sm.weights)
+    if axis_name is not None:
+        dU = jax.lax.psum(dU, axis_name)
+    u_new = U + dU
+    if clamp:
+        u_new = jnp.clip(u_new, -max_a, max_a)
+    return SolveResult(
+        action=u_new[0],
+        u_next=shift_action_seq(u_new),
+        info=SolveInfo(costs=S, beta=sm.beta, eta=sm.eta, weights=sm.weights, u_seq=u_new),
+    )
+
+
+def mppi_solve_deterministic(
+    dyn: Dynamics,
+    cost: Cost,
+    x0: jax.Array,
+    U: jax.Array,
+    eps: jax.Array,
+    lambda_: jax.Array,
+    max_a: jax.Array,
+    *,
+    clamp: bool = True,
+    axis_name: str | None = None,
+) -> SolveResult:
+    """One MPPI solve with *injected* noise — the parity/testing mode. The
+    reference's global ε buffer round-trip (src/point_mass_gpu.cu:123-129)
+    makes the same injection natural there; oracles diff against this."""
+    S = rollout_costs(dyn, cost, x0, U, eps)
+    return solve_from_costs(S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name)
+
+
+def mppi_solve(
+    dyn: Dynamics,
+    cost: Cost,
+    x0: jax.Array,
+    U: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    lambda_: jax.Array,
+    max_a: jax.Array,
+    *,
+    K: int,
+    clamp: bool = True,
+    axis_name: str | None = None,
+    rollout_backend: str = "scan",
+) -> SolveResult:
+    """One full MPPI solve: sample ε, roll out K trajectories over T, softmin
+    update, clamp, shift. Pure and jittable; `K` is per-shard when running
+    under `shard_map` with `axis_name` set."""
+    T, a = U.shape
+    if rollout_backend == "scan":
+        eps = sample_noise(key, T, K, a, sigma)
+        S = rollout_costs(dyn, cost, x0, U, eps)
+    elif rollout_backend == "pallas":
+        from mppi_gpu_tpu.ops.pallas_rollout import pallas_rollout_costs
+
+        S, eps = pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K)
+    else:
+        raise ValueError(f"unknown rollout backend '{rollout_backend}'")
+    return solve_from_costs(S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name)
+
+
+class MPPIController:
+    """Config-driven MPPI controller (the analog of the reference's
+    `PointMassModel` host class, include/point_mass.hpp:23-116 — minus the
+    manual buffer choreography, which jit makes obsolete).
+
+    Usage:
+        ctrl = MPPIController(load_config("configs/point_mass2d.yaml"))
+        U = ctrl.init_action_seq()
+        key = ctrl.init_key()
+        action, U, info = ctrl.solve(x, U, key)   # jitted after first call
+    """
+
+    def __init__(
+        self,
+        cfg: MPPIConfig,
+        dynamics: Dynamics | None = None,
+        cost: Cost | None = None,
+        *,
+        rollout_backend: str = "scan",
+        donate_u: bool = False,
+    ) -> None:
+        self.cfg = cfg
+        self.dynamics = (
+            dynamics
+            if dynamics is not None
+            else PointMassLTI.create(cfg.dt, cfg.action_dim)
+        )
+        self.cost = cost if cost is not None else make_cost(cfg)
+        self.sigma = jnp.asarray(cfg.noise, jnp.float32)
+        self.lambda_ = jnp.float32(cfg.lambda_)
+        self.max_a = jnp.asarray(cfg.max_a, jnp.float32)
+        self.rollout_backend = rollout_backend
+
+        solve = partial(
+            mppi_solve,
+            K=cfg.samples,
+            clamp=cfg.clamp_action,
+            rollout_backend=rollout_backend,
+        )
+        donate = (3,) if donate_u else ()  # donate U's buffer (dyn, cost, x0, U, key,...)
+        self._solve = jax.jit(solve, donate_argnums=donate)
+        self._solve_det = jax.jit(
+            partial(mppi_solve_deterministic, clamp=cfg.clamp_action)
+        )
+
+    # -- state helpers -----------------------------------------------------
+    def init_action_seq(self) -> jax.Array:
+        """U[t] = init-act for all t (the reference parses init-act but zeroes
+        U instead, src/main.cu:678-684 — here the key is honored)."""
+        return jnp.tile(
+            jnp.asarray(self.cfg.init_act, jnp.float32)[None, :], (self.cfg.horizon, 1)
+        )
+
+    def init_key(self) -> jax.Array:
+        return jax.random.key(self.cfg.seed)
+
+    # -- solves ------------------------------------------------------------
+    def solve(
+        self, x: jax.Array, U: jax.Array, key: jax.Array
+    ) -> SolveResult:
+        """One control step. Split the key outside if you manage it manually,
+        or use :meth:`solve_auto` which folds in a step counter."""
+        return self._solve(
+            self.dynamics, self.cost, x, U, key, self.sigma, self.lambda_, self.max_a
+        )
+
+    def solve_with_eps(self, x: jax.Array, U: jax.Array, eps: jax.Array) -> SolveResult:
+        """Deterministic solve with injected noise (parity/testing)."""
+        return self._solve_det(
+            self.dynamics, self.cost, x, U, eps, self.lambda_, self.max_a
+        )
+
+    def solve_auto(
+        self, x: jax.Array, U: jax.Array, key: jax.Array, step: int
+    ) -> SolveResult:
+        return self.solve(x, U, jax.random.fold_in(key, step))

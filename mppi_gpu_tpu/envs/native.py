@@ -1,0 +1,159 @@
+"""ctypes bindings for the native C++ world simulator (csrc/world.cpp).
+
+Host-side like the reference's MuJoCo env; builds the shared library on first
+use if the `.so` is missing (one `g++` invocation, <1 s). Falls back cleanly:
+``native_available()`` returns False when no toolchain exists, and callers use
+the pure-JAX world instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from mppi_gpu_tpu.envs.params import WorldParams
+
+_CSRC = Path(__file__).resolve().parent.parent.parent / "csrc"
+_SO = _CSRC / "libmppiworld.so"
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-Wall", "-shared", "-fPIC", "-o", str(_SO), "world.cpp"],
+            cwd=_CSRC,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if not _SO.exists() and not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO))
+        except OSError:
+            _load_failed = True
+            return None
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.mppi_world_create.restype = ctypes.c_void_p
+        lib.mppi_world_create.argtypes = [ctypes.c_int] + [ctypes.c_float] * 9
+        lib.mppi_world_destroy.argtypes = [ctypes.c_void_p]
+        lib.mppi_world_reset.argtypes = [ctypes.c_void_p]
+        lib.mppi_world_simulate.restype = ctypes.c_int
+        lib.mppi_world_simulate.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_world_step.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_world_get_x.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_world_time.restype = ctypes.c_float
+        lib.mppi_world_time.argtypes = [ctypes.c_void_p]
+        lib.mppi_world_steps_per_control.restype = ctypes.c_int
+        lib.mppi_world_steps_per_control.argtypes = [ctypes.c_void_p]
+        lib.mppi_world_rollout.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+class NativePointMassWorld:
+    """Reference-env-shaped API over the native simulator:
+    ``simulate(u) -> done``, ``get_x() -> x``, ``step(u)``, ``reset()``."""
+
+    def __init__(self, params: WorldParams) -> None:
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native world library unavailable (no prebuilt csrc/libmppiworld.so "
+                "and building with g++ failed); use envs.PointMassWorld instead"
+            )
+        self._lib = lib
+        self.params = params
+        self._handle = lib.mppi_world_create(
+            params.n_axes,
+            ctypes.c_float(params.mass),
+            ctypes.c_float(params.armature),
+            ctypes.c_float(params.damping),
+            ctypes.c_float(params.gear),
+            ctypes.c_float(params.ctrl_range),
+            ctypes.c_float(params.joint_range),
+            ctypes.c_float(params.timestep),
+            ctypes.c_float(params.control_period),
+            ctypes.c_float(params.sim_end),
+        )
+        if not self._handle:
+            raise RuntimeError("mppi_world_create failed")
+
+    def __del__(self) -> None:  # pragma: no cover
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.mppi_world_destroy(handle)
+            self._handle = None
+
+    def _uptr(self, u: np.ndarray) -> np.ndarray:
+        u = np.ascontiguousarray(u, dtype=np.float32)
+        if u.shape != (self.params.n_axes,):
+            raise ValueError(f"u must have shape ({self.params.n_axes},), got {u.shape}")
+        return u
+
+    def reset(self) -> None:
+        self._lib.mppi_world_reset(self._handle)
+
+    def simulate(self, u: np.ndarray) -> bool:
+        u = self._uptr(u)
+        return bool(
+            self._lib.mppi_world_simulate(
+                self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+        )
+
+    def step(self, u: np.ndarray) -> None:
+        u = self._uptr(u)
+        self._lib.mppi_world_step(
+            self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+
+    def get_x(self) -> np.ndarray:
+        x = np.empty((2 * self.params.n_axes,), np.float32)
+        self._lib.mppi_world_get_x(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return x
+
+    @property
+    def time(self) -> float:
+        return float(self._lib.mppi_world_time(self._handle))
+
+    def rollout(self, u_seq: np.ndarray) -> np.ndarray:
+        """Open-loop rollout (mismatch harness): (n, a) controls →
+        (n+1, 2a) trajectory including the initial state."""
+        u_seq = np.ascontiguousarray(u_seq, dtype=np.float32)
+        n, a = u_seq.shape
+        if a != self.params.n_axes:
+            raise ValueError(f"u_seq must be (n, {self.params.n_axes})")
+        traj = np.empty((n + 1, 2 * a), np.float32)
+        self._lib.mppi_world_rollout(
+            self._handle,
+            u_seq.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n,
+            traj.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return traj

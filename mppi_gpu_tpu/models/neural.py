@@ -1,0 +1,118 @@
+"""Neural (MLP) residual dynamics surrogate.
+
+The reference's stated roadmap is a graph-framework controller with a learned
+(NN/GP) dynamics model in the rollout (reference README TODO and the vestigial
+TensorFlow sketch in src/controller_base.cpp). Here it is a first-class model:
+an MLP predicting the state *residual*, ``x' = x + net([x, u])``, so an
+untrained net is still a stable (identity) model.
+
+Plain-JAX parameters (no flax dependency on the hot path) so the whole pytree
+shards/jits trivially; widths are chosen MXU-friendly by default (128 lanes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.tree_util import register_dataclass
+
+
+@register_dataclass
+@dataclass(frozen=True)
+class MLPDynamics:
+    """Residual MLP dynamics: ``x_{t+1} = x_t + scale * MLP([x_t, u_t])``."""
+
+    weights: tuple[jax.Array, ...]   # (in, h1), (h1, h2), ..., (hn, state_dim)
+    biases: tuple[jax.Array, ...]
+    residual_scale: jax.Array        # scalar; 0.0 → exact identity model
+    state_dim: int = field(metadata=dict(static=True), default=2)
+    action_dim: int = field(metadata=dict(static=True), default=1)
+
+    def step(self, x: jax.Array, u: jax.Array) -> jax.Array:
+        batch = jnp.broadcast_shapes(x.shape[:-1], u.shape[:-1])
+        x = jnp.broadcast_to(x, batch + (self.state_dim,))
+        u = jnp.broadcast_to(u, batch + (self.action_dim,))
+        h = jnp.concatenate([x, u], axis=-1)
+        for w, b in zip(self.weights[:-1], self.biases[:-1]):
+            # batched (K, in) @ (in, out): lands on the MXU when K is large
+            h = jnp.tanh(jnp.dot(h, w, preferred_element_type=jnp.float32) + b)
+        w, b = self.weights[-1], self.biases[-1]
+        delta = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        return x + self.residual_scale * delta
+
+
+def init_mlp_dynamics(
+    key: jax.Array,
+    state_dim: int,
+    action_dim: int,
+    hidden: Sequence[int] = (128, 128),
+    residual_scale: float = 1.0,
+) -> MLPDynamics:
+    """Glorot-initialized residual MLP with a zero-init output layer (so the
+    fresh model is the identity map — safe to drop into a running controller)."""
+    dims = [state_dim + action_dim, *hidden, state_dim]
+    weights, biases = [], []
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        key, sub = jax.random.split(key)
+        if i == len(dims) - 2:
+            w = jnp.zeros((din, dout), jnp.float32)
+        else:
+            scale = jnp.sqrt(2.0 / (din + dout))
+            w = scale * jax.random.normal(sub, (din, dout), jnp.float32)
+        weights.append(w)
+        biases.append(jnp.zeros((dout,), jnp.float32))
+    return MLPDynamics(
+        weights=tuple(weights),
+        biases=tuple(biases),
+        residual_scale=jnp.float32(residual_scale),
+        state_dim=state_dim,
+        action_dim=action_dim,
+    )
+
+
+def fit_mlp_dynamics(
+    model: MLPDynamics,
+    transitions: tuple[jax.Array, jax.Array, jax.Array],
+    *,
+    lr: float = 1e-3,
+    steps: int = 500,
+) -> tuple[MLPDynamics, jax.Array]:
+    """Simple full-batch Adam-free SGD fit of the surrogate on (x, u, x_next)
+    transitions. Returns (model, per-step loss history). Good enough for the
+    model-learning extension tests; swap in optax for production training."""
+    xs, us, xn = transitions
+
+    def loss_fn(params):
+        w, b = params
+        m = MLPDynamics(
+            weights=w,
+            biases=b,
+            residual_scale=model.residual_scale,
+            state_dim=model.state_dim,
+            action_dim=model.action_dim,
+        )
+        pred = m.step(xs, us)
+        return jnp.mean(jnp.sum((pred - xn) ** 2, axis=-1))
+
+    @jax.jit
+    def train_step(params, _):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    params = (model.weights, model.biases)
+    params, losses = jax.lax.scan(lambda p, _: train_step(p, _), params, None, length=steps)
+    w, b = params
+    return (
+        MLPDynamics(
+            weights=w,
+            biases=b,
+            residual_scale=model.residual_scale,
+            state_dim=model.state_dim,
+            action_dim=model.action_dim,
+        ),
+        losses,
+    )

@@ -1,0 +1,22 @@
+"""Test env: force CPU with a virtual 8-device mesh so sharding tests run
+anywhere (the real-TPU paths are exercised by bench.py / the driver).
+
+Must set XLA flags before jax initializes — hence module level, first import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng() -> np.random.Generator:
+    return np.random.default_rng(42)
