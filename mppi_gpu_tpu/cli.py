@@ -1,0 +1,104 @@
+"""Closed-loop CLI driver — the analog of the reference's `mppi_gpu`
+executable (reference src/main.cu:220-399):
+
+    python -m mppi_gpu_tpu.cli -c configs/point_mass2d.yaml -t traj.csv
+
+Flags mirror the reference's TCLAP set (src/main.cu:408-439): `-c` config,
+`-t` trajectory CSV, `-s` per-step dump dir (+`--dump-every`). The `-k` mjkey
+flag has no analog (no licensed simulator). TPU-native extras: `--world`
+backend selection, `--sharded` mesh execution, `--jit-episode` whole-episode
+jit, `--rollout-backend` kernel selection, `--profile` jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mppi_gpu_tpu",
+        description="TPU-native MPPI closed-loop runner",
+    )
+    p.add_argument("-c", "--config", required=True, help="YAML config file")
+    p.add_argument("-t", "--traj", default=None, help="output trajectory CSV")
+    p.add_argument(
+        "-s", "--step-dump-dir", default=None,
+        help="directory for per-step debug dumps (reference to_csv2 analog)",
+    )
+    p.add_argument("--dump-every", type=int, default=50, help="dump every N steps")
+    p.add_argument(
+        "--world", choices=("jax", "native"), default="jax",
+        help="ground-truth world backend (native = C++ simulator)",
+    )
+    p.add_argument(
+        "--rollout-backend", choices=("scan", "pallas"), default="scan",
+        help="rollout kernel: XLA scan or fused Pallas (TPU)",
+    )
+    p.add_argument("--sharded", action="store_true", help="shard K over all devices")
+    p.add_argument(
+        "--jit-episode", action="store_true",
+        help="run the whole episode as one jitted scan (JAX world only)",
+    )
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from mppi_gpu_tpu.config import load_config
+    from mppi_gpu_tpu.controller import MPPIController
+    from mppi_gpu_tpu.runner import run_closed_loop, run_episode_jit
+    from mppi_gpu_tpu.utils.timing import profiler_trace
+
+    cfg = load_config(args.config)
+    if args.seed is not None:
+        cfg = cfg.replace(seed=args.seed)
+
+    if args.sharded:
+        from mppi_gpu_tpu.parallel import ShardedMPPIController
+
+        ctrl: MPPIController = ShardedMPPIController(
+            cfg, rollout_backend=args.rollout_backend
+        )
+    else:
+        ctrl = MPPIController(cfg, rollout_backend=args.rollout_backend)
+
+    if args.step_dump_dir:
+        os.makedirs(args.step_dump_dir, exist_ok=True)
+
+    with profiler_trace(args.profile):
+        if args.jit_episode:
+            result = run_episode_jit(ctrl, num_steps=args.max_steps)
+        else:
+            result = run_closed_loop(
+                ctrl,
+                world_backend=args.world,
+                max_steps=args.max_steps,
+                traj_csv=args.traj,
+                step_dump_every=args.dump_every if args.step_dump_dir else None,
+                step_dump_dir=args.step_dump_dir,
+                verbose=args.verbose,
+            )
+
+    final = result.final_state
+    print(f"episode finished: {len(result.us)} control steps")
+    print(f"final state: {final}")
+    if result.solve_ms:
+        # the reference's closing metric (src/main.cu:376-379)
+        print(f"Average controller execution time: {result.solve_ms['mean_ms']:.3f} ms")
+        print(json.dumps(result.solve_ms))
+    if args.traj:
+        print(f"trajectory written to {args.traj}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -222,3 +222,28 @@ class MPPIController:
         self, x: jax.Array, U: jax.Array, key: jax.Array, step: int
     ) -> SolveResult:
         return self.solve(x, U, jax.random.fold_in(key, step))
+
+    def solve_debug(
+        self, x: jax.Array, U: jax.Array, key: jax.Array
+    ) -> tuple[SolveResult, jax.Array, jax.Array]:
+        """Solve that also materializes the sampled noise and full rollout
+        trajectories — the data the reference's per-step debug dump exports
+        for offline verification (src/point_mass.cu:236-262 `get_inf` +
+        src/main.cu:90-156 `to_csv2`). Compiled separately so the hot path
+        never pays for the (T+1, K, s) state history."""
+        if not hasattr(self, "_solve_debug"):
+            from mppi_gpu_tpu.ops.rollout import rollout_trajectories
+
+            def dbg(dyn, cost, x, U, key, sigma, lambda_, max_a):
+                T, a = U.shape
+                eps = sample_noise(key, T, self.cfg.samples, a, sigma)
+                S, xs = rollout_trajectories(dyn, cost, x, U, eps)
+                res = solve_from_costs(
+                    S, eps, U, lambda_, max_a, clamp=self.cfg.clamp_action
+                )
+                return res, eps, xs
+
+            self._solve_debug = jax.jit(dbg)
+        return self._solve_debug(
+            self.dynamics, self.cost, x, U, key, self.sigma, self.lambda_, self.max_a
+        )

@@ -63,7 +63,8 @@ class WorldParams:
         return self.mass + self.armature
 
     def num_control_steps(self) -> int:
-        """Control cycles in one episode (~600 for the default 10 s @ 60 Hz)."""
+        """Control cycles in one episode (~500 for the default 10 s: each
+        cycle advances 2 physics steps = 0.02 s of sim time)."""
         per_cycle = self.steps_per_control * self.timestep
         return math.ceil((self.sim_end - self.timestep) / per_cycle)
 

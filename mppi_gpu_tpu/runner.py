@@ -1,0 +1,187 @@
+"""Closed-loop drivers: controller vs ground-truth world.
+
+Two modes, mirroring and extending the reference's single host loop
+(reference src/main.cu:326-374):
+
+  * :func:`run_closed_loop` — interactive host loop: measure state → solve →
+    apply first action to the world → repeat until the episode ends. Works
+    against either world backend (native C++ or JAX) and records per-solve
+    wall-clock exactly like the reference's "Average controller execution
+    time" metric. Optional per-step debug dumps (reference save_step path).
+
+  * :func:`run_episode_jit` — the TPU-first mode the reference cannot do:
+    the ENTIRE episode (≈600 control cycles of solve + world physics) is one
+    `lax.scan` under jit — zero host↔device round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mppi_gpu_tpu.controller import MPPIController
+from mppi_gpu_tpu.envs.params import WorldParams, world_params_for_config
+from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld, WorldState
+from mppi_gpu_tpu.io.csvio import write_step_dump_csv, write_traj_csv
+from mppi_gpu_tpu.utils.timing import SolveTimer
+
+
+@dataclass
+class EpisodeResult:
+    times: np.ndarray        # (N,) sim time at each control step
+    xs: np.ndarray           # (N+1, s) world states (x_0 .. x_N)
+    us: np.ndarray           # (N, a) executed actions
+    solve_ms: dict[str, float] = field(default_factory=dict)
+
+    @property
+    def final_state(self) -> np.ndarray:
+        return self.xs[-1]
+
+
+def _make_world(params: WorldParams, backend: str) -> Any:
+    if backend == "native":
+        from mppi_gpu_tpu.envs.native import NativePointMassWorld
+
+        return NativePointMassWorld(params)
+    if backend == "jax":
+        return _JaxWorldAdapter(PointMassWorld(params))
+    raise ValueError(f"unknown world backend '{backend}' (native|jax)")
+
+
+class _JaxWorldAdapter:
+    """Host-loop adapter giving the JAX world the reference-env API
+    (`simulate(u) -> done`, `get_x()`), with jitted step."""
+
+    def __init__(self, world: PointMassWorld) -> None:
+        self.world = world
+        self.params = world.params
+        self.state = world.reset()
+        self._simulate = jax.jit(world.simulate)
+
+    def reset(self) -> None:
+        self.state = self.world.reset()
+
+    def simulate(self, u: np.ndarray) -> bool:
+        self.state, done = self._simulate(self.state, jnp.asarray(u, jnp.float32))
+        return bool(done)
+
+    def get_x(self) -> np.ndarray:
+        return np.asarray(self.state.x)
+
+    @property
+    def time(self) -> float:
+        return float(self.state.time)
+
+
+def run_closed_loop(
+    ctrl: MPPIController,
+    *,
+    world_backend: str = "jax",
+    world_params: WorldParams | None = None,
+    max_steps: int | None = None,
+    traj_csv: str | os.PathLike | None = None,
+    step_dump_every: int | None = None,
+    step_dump_dir: str | os.PathLike | None = None,
+    verbose: bool = False,
+) -> EpisodeResult:
+    """Interactive closed loop (the reference's main loop, src/main.cu:326-374)."""
+    params = world_params or world_params_for_config(ctrl.cfg)
+    world = _make_world(params, world_backend)
+
+    U = ctrl.init_action_seq()
+    key = ctrl.init_key()
+    timer = SolveTimer()
+
+    xs = [world.get_x()]
+    us: list[np.ndarray] = []
+    times: list[float] = []
+
+    step = 0
+    limit = max_steps if max_steps is not None else params.num_control_steps() + 5
+    while step < limit:
+        x = jnp.asarray(xs[-1])
+        U_prev = U
+        with timer.measure():
+            res = ctrl.solve_auto(x, U, key, step)
+            res.action.block_until_ready()
+        action = np.asarray(res.action)
+        U = res.u_next
+
+        if step_dump_every and step % step_dump_every == 0 and step_dump_dir:
+            # Re-run the identical solve (same key) materializing eps + full
+            # sampled trajectories — the reference's save_step path
+            # (src/main.cu:355-367).
+            dbg_res, eps, traj = ctrl.solve_debug(
+                x, U_prev, jax.random.fold_in(key, step)
+            )
+            write_step_dump_csv(
+                os.path.join(step_dump_dir, f"step_{step:05d}.csv"),
+                np.asarray(traj), np.asarray(eps),
+                np.asarray(dbg_res.info.u_seq), np.asarray(U_prev),
+                np.asarray(dbg_res.info.weights), np.asarray(dbg_res.info.costs),
+            )
+
+        done = world.simulate(action)
+        if done:
+            break
+        times.append(world.time)
+        xs.append(world.get_x())
+        us.append(action)
+        if verbose:
+            print(f"[{step:4d}] t={times[-1]:7.3f}  x={xs[-1]}  u={action}")
+        step += 1
+
+    result = EpisodeResult(
+        times=np.asarray(times),
+        xs=np.asarray(xs),
+        us=np.asarray(us) if us else np.zeros((0, ctrl.cfg.action_dim)),
+        solve_ms=timer.summary(),
+    )
+    if traj_csv is not None:
+        write_traj_csv(traj_csv, result.times, result.xs[1:], result.us)
+    return result
+
+
+def run_episode_jit(
+    ctrl: MPPIController,
+    *,
+    world_params: WorldParams | None = None,
+    num_steps: int | None = None,
+) -> EpisodeResult:
+    """Whole-episode jit: `lax.scan` over control cycles; each cycle is one
+    MPPI solve + `steps_per_control` physics steps, all on-device."""
+    params = world_params or world_params_for_config(ctrl.cfg)
+    world = PointMassWorld(params)
+    n = num_steps if num_steps is not None else params.num_control_steps()
+    key = ctrl.init_key()
+
+    def cycle(carry, step):
+        ws, U = carry
+        res = ctrl._solve(  # reuse the controller's jitted solve body
+            ctrl.dynamics, ctrl.cost, ws.x, U,
+            jax.random.fold_in(key, step),
+            ctrl.sigma, ctrl.lambda_, ctrl.max_a,
+        )
+        ws_new, _ = world.simulate(ws, res.action)
+        return (ws_new, res.u_next), (ws_new.x, res.action, ws_new.time)
+
+    @jax.jit
+    def episode(U0):
+        ws0 = world.reset()
+        (_, _), (xs, us, ts) = jax.lax.scan(
+            cycle, (ws0, U0), jnp.arange(n)
+        )
+        return xs, us, ts
+
+    xs, us, ts = episode(ctrl.init_action_seq())
+    x0 = np.asarray(world.reset().x)[None]
+    return EpisodeResult(
+        times=np.asarray(ts),
+        xs=np.concatenate([x0, np.asarray(xs)], axis=0),
+        us=np.asarray(us),
+    )

@@ -1,17 +1,22 @@
 """Test env: force CPU with a virtual 8-device mesh so sharding tests run
 anywhere (the real-TPU paths are exercised by bench.py / the driver).
 
-Must set XLA flags before jax initializes — hence module level, first import.
+XLA_FLAGS must be set before the CPU backend initializes; jax_platforms must
+be forced via jax.config because the axon TPU tunnel's sitecustomize sets the
+platform at interpreter startup.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,110 @@
+"""End-to-end closed loop: the controller must drive the (mismatched) world
+to the goal — the reference's headline behavior — plus runner/CSV/mismatch
+harness coverage."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from mppi_gpu_tpu.config import load_config
+from mppi_gpu_tpu.controller import MPPIController
+from mppi_gpu_tpu.envs.native import native_available
+from mppi_gpu_tpu.io.csvio import read_csv_columns
+from mppi_gpu_tpu.miss import run_mismatch, save_mismatch_csv
+from mppi_gpu_tpu.runner import run_closed_loop, run_episode_jit
+
+CONFIGS = Path(__file__).resolve().parent.parent / "configs"
+
+
+def small_cfg(name="point_mass1d", K=256, T=25):
+    return load_config(CONFIGS / f"{name}.yaml").replace(samples=K, horizon=T)
+
+
+def test_closed_loop_reaches_goal_1d(tmp_path):
+    cfg = small_cfg()
+    ctrl = MPPIController(cfg)
+    csv_path = tmp_path / "traj.csv"
+    # full 10 s episode: the approach is deliberately slow (velocity cost w=5
+    # + the model-plant mismatch), matching the reference's behavior
+    res = run_closed_loop(ctrl, world_backend="jax", traj_csv=csv_path)
+    # goal: q=1, qd=0 in the *world*
+    assert abs(res.final_state[0] - 1.0) < 0.12, f"final {res.final_state}"
+    assert abs(res.final_state[1]) < 0.3
+    assert res.solve_ms["n"] > 0 and res.solve_ms["mean_ms"] > 0
+
+    cols = read_csv_columns(csv_path)
+    assert "x[0]" in cols and "u[0]" in cols and len(cols["time"]) == len(res.us)
+    np.testing.assert_allclose(cols["x[0]"][-1], res.final_state[0], rtol=1e-5)
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_closed_loop_native_world_matches_jax_world():
+    cfg = small_cfg(K=128, T=20)
+    r_jax = run_closed_loop(MPPIController(cfg), world_backend="jax", max_steps=100)
+    r_nat = run_closed_loop(MPPIController(cfg), world_backend="native", max_steps=100)
+    # same controller keys + physics → identical trajectories within float tol
+    np.testing.assert_allclose(r_jax.xs, r_nat.xs, rtol=5e-3, atol=5e-4)
+
+
+def test_jit_episode_matches_host_loop():
+    """The whole-episode lax.scan and the interactive host loop must produce
+    the same trajectory (same keys, same physics, same solve)."""
+    cfg = small_cfg(K=64, T=10)
+    ctrl = MPPIController(cfg)
+    r_host = run_closed_loop(ctrl, world_backend="jax", max_steps=40)
+    r_jit = run_episode_jit(ctrl, num_steps=40)
+    np.testing.assert_allclose(r_host.xs, r_jit.xs, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(r_host.us, r_jit.us, rtol=1e-4, atol=1e-5)
+
+
+def test_closed_loop_2d_progresses_to_goal():
+    """The 2D config's velocity weights (50) make the optimal approach a slow
+    crawl — assert steady progress toward the goal along x, no drift in y,
+    and controlled velocities (the reference exhibits the same creep; its
+    sample plots only reach x≈1 near the episode end)."""
+    cfg = small_cfg("point_mass2d", K=512, T=25)
+    ctrl = MPPIController(cfg)
+    res = run_episode_jit(ctrl)  # full episode, jitted
+    x_traj = res.xs[:, 0]
+    assert res.final_state[0] > 0.3, f"final {res.final_state}"
+    assert abs(res.final_state[1]) < 0.1          # y stays near 0
+    assert np.all(np.diff(x_traj[::50]) > -0.02)  # monotone-ish approach
+    # velocities jitter (σ=0.25 noise through a gear-10 plant) but stay bounded
+    assert np.abs(res.xs[:, 2:]).max() < 1.0
+
+
+def test_step_dump(tmp_path):
+    cfg = small_cfg(K=16, T=6)
+    ctrl = MPPIController(cfg)
+    run_closed_loop(
+        ctrl, world_backend="jax", max_steps=3,
+        step_dump_every=1, step_dump_dir=tmp_path,
+    )
+    dumps = sorted(tmp_path.glob("step_*.csv"))
+    assert len(dumps) == 3
+    cols = read_csv_columns(dumps[0])
+    # one row per (sample, step): K × (T+1)
+    assert len(cols["sample"]) == 16 * 7
+    assert {"x[0]", "e[0]", "u[0]", "u_prev[0]", "w", "c"} <= set(cols)
+
+
+def test_mismatch_harness(tmp_path):
+    res = run_mismatch(2, n_steps=50)
+    assert res.traj_model.shape == (51, 4)
+    assert res.traj_world.shape == (51, 4)
+    # the mismatch is real: model and world must diverge (different dt,
+    # damping, gear) — if this is ~0 the harness is comparing a model to
+    # itself
+    assert res.position_rmse > 0.05
+    out = tmp_path / "miss.csv"
+    save_mismatch_csv(out, res)
+    cols = read_csv_columns(out)
+    assert {"q0_s", "q0_w", "qd1_s", "qd1_w"} <= set(cols)
+
+
+@pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+def test_mismatch_native_vs_jax_world():
+    r1 = run_mismatch(2, n_steps=30, world_backend="jax")
+    r2 = run_mismatch(2, n_steps=30, world_backend="native")
+    np.testing.assert_allclose(r1.traj_world, r2.traj_world, rtol=2e-4, atol=2e-5)
