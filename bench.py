@@ -10,7 +10,7 @@ prints ONE JSON line:
 
 Extra context lines (larger K, solves/s, backend) go to stderr.
 
-Run: python bench.py            [--k 10000 --t 200 --backend scan|pallas]
+Run: python bench.py            [--k 10000 --t 200 --backend auto|scan|pallas]
 """
 
 from __future__ import annotations
@@ -100,7 +100,7 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=10_000)
     p.add_argument("--t", type=int, default=200)
-    p.add_argument("--backend", default="scan", choices=("scan", "pallas"))
+    p.add_argument("--backend", default="auto", choices=("auto", "scan", "pallas"))
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--extra", action="store_true", help="also bench K=1e5")

@@ -35,8 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="ground-truth world backend (native = C++ simulator)",
     )
     p.add_argument(
-        "--rollout-backend", choices=("scan", "pallas"), default="scan",
-        help="rollout kernel: XLA scan or fused Pallas (TPU)",
+        "--rollout-backend", choices=("auto", "scan", "pallas"), default="auto",
+        help="rollout kernel: fused Pallas (TPU) or XLA scan; auto picks per platform/model",
     )
     p.add_argument("--sharded", action="store_true", help="shard K over all devices")
     p.add_argument(

@@ -137,13 +137,77 @@ def mppi_solve(
     if rollout_backend == "scan":
         eps = sample_noise(key, T, K, a, sigma)
         S = rollout_costs(dyn, cost, x0, U, eps)
-    elif rollout_backend == "pallas":
-        from mppi_gpu_tpu.ops.pallas_rollout import pallas_rollout_costs
+        return solve_from_costs(S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name)
+    if rollout_backend in ("pallas", "pallas-interpret"):
+        return pallas_solve(
+            dyn, cost, x0, U, key, sigma, lambda_, max_a,
+            K=K, clamp=clamp, axis_name=axis_name,
+            interpret=rollout_backend == "pallas-interpret",
+        )
+    raise ValueError(f"unknown rollout backend '{rollout_backend}'")
 
-        S, eps = pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K)
-    else:
-        raise ValueError(f"unknown rollout backend '{rollout_backend}'")
-    return solve_from_costs(S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name)
+
+def pallas_solve(
+    dyn: Dynamics,
+    cost: Cost,
+    x0: jax.Array,
+    U: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    lambda_: jax.Array,
+    max_a: jax.Array,
+    *,
+    K: int,
+    clamp: bool = True,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> SolveResult:
+    """Fused-kernel MPPI solve: the (T, K, a) noise tensor never exists in
+    HBM. Kernel A rolls out and returns only costs; the softmin runs in XLA
+    (with pmin/psum across the mesh when sharded); kernel B regenerates the
+    identical noise stream and reduces ΔU on-chip. See ops/pallas_rollout.py."""
+    from mppi_gpu_tpu.ops import pallas_rollout as pr
+
+    pr.check_supported(dyn, cost)
+    S_pad = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, interpret=interpret
+    )
+    # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to exactly 0,
+    # so they drop out of η and ΔU without any masking here.
+    sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
+    dU = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, sm.weights, K=K, interpret=interpret
+    )
+    if axis_name is not None:
+        dU = jax.lax.psum(dU, axis_name)
+    u_new = U + dU
+    if clamp:
+        u_new = jnp.clip(u_new, -max_a, max_a)
+    return SolveResult(
+        action=u_new[0],
+        u_next=shift_action_seq(u_new),
+        info=SolveInfo(
+            costs=S_pad[:K], beta=sm.beta, eta=sm.eta,
+            weights=sm.weights[:K], u_seq=u_new,
+        ),
+    )
+
+
+def resolve_backend(
+    requested: str, dyn: Dynamics, cost: Cost, *, platform: str | None = None
+) -> str:
+    """'auto' → the fused Pallas kernels on TPU when the model/cost pair is
+    fusable (LTI + quadratic), else the generic XLA scan path."""
+    if requested != "auto":
+        return requested
+    from mppi_gpu_tpu.ops import pallas_rollout as pr
+
+    try:
+        pr.check_supported(dyn, cost)
+    except TypeError:
+        return "scan"
+    platform = platform or jax.default_backend()
+    return "pallas" if platform == "tpu" else "scan"
 
 
 class MPPIController:
@@ -164,7 +228,7 @@ class MPPIController:
         dynamics: Dynamics | None = None,
         cost: Cost | None = None,
         *,
-        rollout_backend: str = "scan",
+        rollout_backend: str = "auto",
         donate_u: bool = False,
     ) -> None:
         self.cfg = cfg
@@ -177,6 +241,7 @@ class MPPIController:
         self.sigma = jnp.asarray(cfg.noise, jnp.float32)
         self.lambda_ = jnp.float32(cfg.lambda_)
         self.max_a = jnp.asarray(cfg.max_a, jnp.float32)
+        rollout_backend = resolve_backend(rollout_backend, self.dynamics, self.cost)
         self.rollout_backend = rollout_backend
 
         solve = partial(

@@ -1,0 +1,360 @@
+"""Fused Pallas (Mosaic) MPPI rollout kernels — the TPU-native replacement for
+the reference's CUDA rollout + reduction pipeline.
+
+The reference materializes the full (K, T, a) noise tensor in GPU global
+memory (written by `save_e`, reference src/point_mass_gpu.cu:123-129) and then
+re-reads it T times through the per-timestep `update_act` reduction ladder
+(reference src/point_mass.cu:384-480 — its flagged bottleneck). Here the noise
+NEVER touches HBM at all:
+
+  * **Kernel A** (`pallas_rollout_costs`): for each K-tile, generate ε on-chip
+    (`pltpu.prng_random_bits` → Box-Muller), integrate the LTI dynamics over
+    the horizon T in registers, and write out only the per-rollout total
+    cost S (4 bytes per rollout).
+  * host-side: softmin over S — β (min), η (sum), weights (tiny, XLA-fused;
+    `lax.pmin`/`psum` across the mesh when sharded).
+  * **Kernel B** (`pallas_weighted_update`): re-seed the SAME PRNG stream,
+    regenerate ε tile by tile, and accumulate ΔU[t] = Σ_k w_k ε_k[t] across
+    the grid.
+
+At K=10⁵, T=200, a=3 this avoids 240 MB of HBM writes + ≥240 MB of reads per
+solve; regeneration costs only VPU flops, which is the cheap currency on TPU.
+
+Layout notes (TPU tiling is (8 sublanes × 128 lanes) for f32):
+
+  * Rollouts live on the **lane** axis: every per-rollout quantity is an
+    (8, KB) tile, KB lanes of rollouts per grid step.
+  * **Group packing**: action/state dims occupy only `A` sublanes, so
+    G = 8//A independent rollout *groups* are packed into the 8 sublanes
+    (rows g*A..g*A+A-1 = group g). One (8, KB) tile therefore carries G·KB
+    rollouts — at a=3 that doubles throughput vs. naive sublane padding, the
+    "pack tiny dims into (8,128) tiles" move the survey calls out (§7).
+  * Costs accumulate **elementwise** into an (8, KB) register accumulator;
+    the per-group sublane reductions happen once at kernel end, not per step.
+  * There is **no dynamic indexing** anywhere (Mosaic requires lane indices
+    to be 128-multiples, and dynamic sublane refs compile poorly). The
+    nominal sequence U sits in VMEM as one (8, T_pad) tile; step t extracts
+    its column with a one-hot lane mask + lane reduction, and kernel B
+    scatters ΔU_t into its (8, T_pad) accumulator with the same one-hot.
+  * K is padded up to the tile geometry; padded slots get cost=BIG so their
+    softmin weight underflows to exactly 0 and they vanish from ΔU.
+
+Rollout indexing convention (must agree between kernels A and B and the
+caller): rollout id = g * (Kpad/G) + i * KB + lane, for group g, grid step i.
+Kernel A's (G, Kpad/G) output flattens to exactly this order.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mppi_gpu_tpu.models.point_mass import PointMassLTI
+from mppi_gpu_tpu.ops.cost import QuadraticCost
+
+SUB = 8        # f32 sublane tile
+LANE = 128     # lane tile
+BIG = 3.0e38   # finite "infinity" for padded rollouts (inlined literal)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_kb(K_lanes: int) -> int:
+    """Lanes of rollouts per grid step. Must be a multiple of 256 (the
+    Box-Muller pair trick concatenates two KB/2 halves, each ≥1 lane tile).
+    2048 measured fastest on v5e at K=10⁵; tunable via MPPI_PALLAS_KB."""
+    kb = int(os.environ.get("MPPI_PALLAS_KB", "2048"))
+    if K_lanes <= kb:
+        return max(256, _round_up(K_lanes, 256))
+    return kb
+
+
+class PallasPlan(NamedTuple):
+    """Static geometry shared by both kernels."""
+    K: int        # true rollout count
+    A: int        # action dim
+    G: int        # rollout groups packed per tile (SUB // A)
+    KB: int       # rollout lanes per grid step
+    Kpg: int      # padded rollouts per group (= lanes per group = grid*KB)
+    T: int
+    Tpad: int
+
+    @property
+    def Kpad(self) -> int:  # total padded rollouts
+        return self.G * self.Kpg
+
+    @property
+    def grid(self) -> int:
+        return self.Kpg // self.KB
+
+
+def make_plan(K: int, T: int, action_dim: int) -> PallasPlan:
+    if not 1 <= action_dim <= SUB:
+        raise ValueError(f"pallas backend supports 1<=action_dim<={SUB}, got {action_dim}")
+    G = SUB // action_dim
+    KB = _pick_kb(_round_up(K, G) // G)
+    Kpg = _round_up(_round_up(K, G) // G, KB)
+    return PallasPlan(K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T, Tpad=_round_up(T, LANE))
+
+
+def _standard_normal(shape: tuple[int, int]) -> jax.Array:
+    """(rows, cols) standard normals from the on-chip PRNG via Box-Muller.
+    `cols` must be even; each uniform pair yields two normals (cos & sin
+    branches), halving the transcendental count. Replaces the reference's
+    per-thread cuRAND state dance (reference src/point_mass.cu:493-506)."""
+    rows, cols = shape
+    half = (rows, cols // 2)
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+    # mantissa bits → uniform [0,1): bitcast trick, exact and branch-free
+    u1 = pltpu.bitcast((b1 >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+    u2 = pltpu.bitcast((b2 >> 9) | jnp.uint32(0x3F800000), jnp.float32) - 1.0
+    # r=0 when u1=0 is fine (log1p(-0)=0); theta uniform in [0, 2π)
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+    theta = (2.0 * jnp.pi) * u2
+    return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+
+
+def _onehot_lanes(t: jax.Array, n: int) -> jax.Array:
+    """(1, n) f32 one-hot of lane index t (2D iota — 1D iota is illegal on TPU)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    return (lanes == t).astype(jnp.float32)
+
+
+def _seed(ints_ref, i):
+    # fold the grid position into seed word 0 (golden-ratio odd constant);
+    # kernels A and B MUST seed identically to replay the same ε stream.
+    pltpu.prng_seed(ints_ref[0, 0] + i * jnp.int32(-1640531527), ints_ref[0, 1])
+
+
+# Parameter-pack column indices for the (SUB, 8) P matrix. Every column is
+# already group-tiled: row g*A+i holds the value for action/state dim i.
+_P_WQ, _P_WQD, _P_GQ, _P_GQD, _P_SIGMA, _P_INVS, _P_X0Q, _P_X0QD = range(8)
+
+
+def _rollout_cost_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 2) f32:  [dt, lambda]
+    u_ref,      # VMEM (SUB, Tpad): nominal U — group-tiled rows, transposed
+    p_ref,      # VMEM (SUB, 8): parameter pack (see _P_* columns)
+    s_ref,      # out VMEM (G, KB): per-rollout total cost, rows = groups
+    *, plan: PallasPlan,
+):
+    i = pl.program_id(0)
+    _seed(ints_ref, i)
+    A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
+    dt, lam = scal_ref[0, 0], scal_ref[0, 1]
+    hdt2 = 0.5 * dt * dt
+    u_all = u_ref[:, :]
+    wq, wqd = p_ref[:, _P_WQ:_P_WQ + 1], p_ref[:, _P_WQD:_P_WQD + 1]
+    gq, gqd = p_ref[:, _P_GQ:_P_GQ + 1], p_ref[:, _P_GQD:_P_GQD + 1]
+    sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
+    lam_invs = lam * p_ref[:, _P_INVS:_P_INVS + 1]
+    q0 = jnp.broadcast_to(p_ref[:, _P_X0Q:_P_X0Q + 1], (SUB, KB))
+    qd0 = jnp.broadcast_to(p_ref[:, _P_X0QD:_P_X0QD + 1], (SUB, KB))
+
+    def body(t, carry):
+        q, qd, acc = carry
+        eps = sigma * _standard_normal((SUB, KB))
+        u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
+        u_b = jnp.broadcast_to(u_t, (SUB, KB))
+        u_eff = u_b + eps
+        # LTI point-mass integrate (reference src/point_mass_gpu.cu:97-106)
+        q = q + dt * qd + hdt2 * u_eff
+        qd = qd + dt * u_eff
+        # quadratic step cost on x_{t+1} (reference src/cost.cu:42-55),
+        # accumulated ELEMENTWISE — per-group reduction deferred to kernel end
+        dq, dqd = q - gq, qd - gqd
+        acc = acc + (lam_invs * u_b) * eps + wq * dq * dq + wqd * dqd * dqd
+        return q, qd, acc
+
+    zero = jnp.zeros((SUB, KB), jnp.float32)
+    q, qd, acc = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero))
+    # terminal cost re-counts the final state (reference parity: the last step
+    # cost already included x_T, and final_cost adds it again — src/cost.cu:57-64)
+    dq, dqd = q - gq, qd - gqd
+    acc = acc + wq * dq * dq + wqd * dqd * dqd
+    # per-group sublane reduction: S_g = Σ_{rows g*A..g*A+A-1} acc
+    S = jnp.concatenate(
+        [jnp.sum(acc[g * A:(g + 1) * A], axis=0, keepdims=True) for g in range(G)],
+        axis=0,
+    )  # (G, KB)
+    # mask rollouts beyond the true K so their softmin weight underflows to 0
+    gid = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, KB), 0) * plan.Kpg
+        + i * KB
+        + jax.lax.broadcasted_iota(jnp.int32, (G, KB), 1)
+    )
+    s_ref[:, :] = jnp.where(gid < ints_ref[0, 2], S, jnp.float32(BIG))
+
+
+def _weighted_update_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 2) f32:  [dt, lambda]  (unused; same signature)
+    u_ref,      # VMEM (SUB, Tpad)
+    p_ref,      # VMEM (SUB, 8)
+    w_ref,      # VMEM (G, KB): softmin weights for this tile, rows = groups
+    du_ref,     # out VMEM (SUB, Tpad): ΔU accumulated over all tiles
+    *, plan: PallasPlan,
+):
+    i = pl.program_id(0)
+    _seed(ints_ref, i)  # SAME stream as kernel A
+    A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
+    u_all = u_ref[:, :]
+    sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
+    # expand group weights to one row per (group, action-dim): rows g*A+i = w[g]
+    w_exp = jnp.concatenate(
+        [w_ref[g:g + 1, :] for g in range(G) for _ in range(A)]
+        + [jnp.zeros((SUB - G * A, KB), jnp.float32)] * (1 if SUB - G * A else 0),
+        axis=0,
+    )  # (SUB, KB)
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[:, :] = jnp.zeros_like(du_ref)
+
+    def body(t, acc):
+        eps = sigma * _standard_normal((SUB, KB))
+        col = jnp.sum(w_exp * eps, axis=1, keepdims=True)  # (SUB, 1)
+        # fold groups: dU_t[i] = Σ_g col[g*A + i]
+        fold = col[0:A]
+        for g in range(1, G):
+            fold = fold + col[g * A:(g + 1) * A]
+        fold = jnp.concatenate([fold, jnp.zeros((SUB - A, 1), jnp.float32)], axis=0)
+        return acc + fold * _onehot_lanes(t, Tpad)          # scatter into column t
+
+    acc = jax.lax.fori_loop(0, plan.T, body, jnp.zeros((SUB, Tpad), jnp.float32))
+    du_ref[:, :] += acc
+
+
+def _pack_inputs(
+    dyn: PointMassLTI,
+    cost: QuadraticCost,
+    x0: jax.Array,
+    U: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    plan: PallasPlan,
+):
+    """Host-side (traced) packing of the tiny per-solve inputs. All per-dim
+    vectors are group-tiled: row g*A+i = value for dim i, any group g."""
+    A, G, T, Tpad = plan.A, plan.G, plan.T, plan.Tpad
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    seeds = jax.lax.bitcast_convert_type(kd[:2], jnp.int32)
+    ints = jnp.concatenate([seeds, jnp.array([plan.K, T], jnp.int32)]).reshape(1, 4)
+    scal = jnp.stack(
+        [dyn.dt.astype(jnp.float32), cost.lambda_.astype(jnp.float32)]
+    ).reshape(1, 2)
+
+    u_rows = jnp.tile(U.T.astype(jnp.float32), (G, 1))  # (G*A, T)
+    u_tile = jnp.zeros((SUB, Tpad), jnp.float32).at[: G * A, :T].set(u_rows)
+
+    def tileA(v):  # (A,) -> (SUB,): group-tiled then zero-padded
+        v = jnp.broadcast_to(v, (A,)).astype(jnp.float32)
+        return jnp.zeros((SUB,), jnp.float32).at[: G * A].set(jnp.tile(v, G))
+
+    w, g = cost.w.astype(jnp.float32), cost.goal.astype(jnp.float32)
+    x0 = jnp.broadcast_to(x0, (2 * A,)).astype(jnp.float32)
+    p = jnp.stack(
+        [
+            tileA(w[:A]), tileA(w[A:]),      # state-cost diag (q, qd)
+            tileA(g[:A]), tileA(g[A:]),      # goal (q, qd)
+            tileA(sigma),                    # noise σ
+            tileA(cost.inv_s),               # Σ⁻¹ diagonal
+            tileA(x0[:A]), tileA(x0[A:]),    # initial state (q, qd)
+        ],
+        axis=1,
+    )  # (SUB, 8)
+    return ints, scal, u_tile, p
+
+
+def pallas_rollout_costs(
+    dyn: PointMassLTI,
+    cost: QuadraticCost,
+    x0: jax.Array,
+    U: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    *,
+    K: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Kernel A: per-rollout total costs, shape (Kpad,) with BIG in the pad.
+    The (T, K, a) noise is generated on-chip and discarded — regenerate it
+    deterministically with :func:`pallas_weighted_update` (same key)."""
+    plan = make_plan(K, U.shape[0], U.shape[1])
+    ints, scal, u_tile, p = _pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+    S = pl.pallas_call(
+        functools.partial(_rollout_cost_kernel, plan=plan),
+        grid=(plan.grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((plan.G, plan.Kpg), jnp.float32),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(ints, scal, u_tile, p)
+    return S.reshape(plan.Kpad)  # id = g*Kpg + i*KB + lane
+
+
+def pallas_weighted_update(
+    dyn: PointMassLTI,
+    cost: QuadraticCost,
+    x0: jax.Array,
+    U: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    weights: jax.Array,  # (Kpad,) softmin weights (0 in the pad)
+    *,
+    K: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Kernel B: ΔU[t] = Σ_k w_k ε_k[t] (T, a), regenerating ε from `key`.
+    This is the reference's `update_act` T-loop of reduction ladders
+    (src/point_mass.cu:384-480) as one single-launch kernel with zero HBM
+    traffic for ε."""
+    plan = make_plan(K, U.shape[0], U.shape[1])
+    ints, scal, u_tile, p = _pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+    dU = pl.pallas_call(
+        functools.partial(_weighted_update_kernel, plan=plan),
+        grid=(plan.grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SUB, plan.Tpad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # sequential: accumulates du_ref
+        ),
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(ints, scal, u_tile, p, weights.reshape(plan.G, plan.Kpg))
+    return dU[: plan.A, : plan.T].T  # (T, a)
+
+
+def check_supported(dyn, cost) -> None:
+    if not isinstance(dyn, PointMassLTI):
+        raise TypeError(
+            "pallas rollout backend fuses the analytic LTI point-mass dynamics; "
+            f"got {type(dyn).__name__} — use rollout_backend='scan' for custom models"
+        )
+    if not isinstance(cost, QuadraticCost):
+        raise TypeError(
+            "pallas rollout backend fuses the quadratic cost; got "
+            f"{type(cost).__name__} — use rollout_backend='scan'"
+        )

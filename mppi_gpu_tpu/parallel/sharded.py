@@ -105,15 +105,25 @@ class ShardedMPPIController(MPPIController):
         cost: Cost | None = None,
         *,
         mesh: Mesh | None = None,
-        rollout_backend: str = "scan",
+        rollout_backend: str = "auto",
     ) -> None:
         super().__init__(cfg, dynamics, cost, rollout_backend=rollout_backend)
         self.mesh = mesh if mesh is not None else make_mesh()
+        # re-resolve 'auto' against the mesh's platform (may differ from the
+        # default backend, e.g. a forced-CPU virtual mesh in tests)
+        from mppi_gpu_tpu.controller import resolve_backend
+
+        self.rollout_backend = resolve_backend(
+            rollout_backend,
+            self.dynamics,
+            self.cost,
+            platform=self.mesh.devices.flat[0].platform,
+        )
         solve = partial(
             sharded_mppi_solve,
             self.mesh,
             K=cfg.samples,
             clamp=cfg.clamp_action,
-            rollout_backend=rollout_backend,
+            rollout_backend=self.rollout_backend,
         )
         self._solve = jax.jit(solve)

@@ -1,0 +1,91 @@
+"""Standalone real-TPU check for the fused Pallas kernels. Run as a
+subprocess by tests/test_pallas.py (the pytest process forces a CPU platform,
+and the Mosaic interpreter stubs `prng_random_bits` to zeros, so meaningful
+noise-path checks need the actual chip).
+
+Prints PALLAS_TPU_OK on success, SKIP_NO_TPU when no TPU is attached.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() != "tpu":
+    print("SKIP_NO_TPU")
+    sys.exit(0)
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from mppi_gpu_tpu.config import MPPIConfig
+from mppi_gpu_tpu.controller import MPPIController
+from mppi_gpu_tpu.models.point_mass import PointMassLTI
+from mppi_gpu_tpu.ops import pallas_rollout as pr
+from mppi_gpu_tpu.ops.cost import QuadraticCost
+from mppi_gpu_tpu.ops.rollout import rollout_costs
+
+A, T, K = 3, 16, 700
+dyn = PointMassLTI.create(0.1, A)
+cost = QuadraticCost(
+    w=jnp.array([1.0, 1.0, 1.0, 5.0, 5.0, 5.0]),
+    goal=jnp.array([1.0, 0.5, 0.75, 0.0, 0.0, 0.0]),
+    lambda_=jnp.float32(1.3),
+    inv_s=jnp.ones((A,)),
+)
+x0 = jnp.array([0.1, -0.2, 0.05, 0.0, 0.0, 0.0])
+U = 0.1 * jnp.sin(jnp.arange(T * A, dtype=jnp.float32)).reshape(T, A)
+key = jax.random.key(11)
+sigma = jnp.array([0.25, 0.2, 0.3])
+
+# --- kernel A vs kernel B consistency through the scan-path oracle:
+# with a one-hot weight on rollout k, kernel B returns exactly ε_k; feeding
+# that ε through the independent scan rollout must reproduce kernel A's S_k.
+S = jax.jit(lambda *a: pr.pallas_rollout_costs(*a, K=K))(dyn, cost, x0, U, key, sigma)
+plan = pr.make_plan(K, T, A)
+assert S.shape == (plan.Kpad,)
+assert float(S[-1]) > 1e37, "padding must carry BIG cost"
+for k in (0, 3, K - 1):
+    w = jnp.zeros((plan.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = jax.jit(lambda *a: pr.pallas_weighted_update(*a, K=K))(
+        dyn, cost, x0, U, key, sigma, w
+    )
+    S_ref = float(rollout_costs(dyn, cost, x0, U, eps_k[:, None, :])[0])
+    rel = abs(float(S[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 1e-4, f"k={k}: kernel S={float(S[k])} scan S={S_ref} rel={rel}"
+
+# --- noise statistics: uniform weights give dU ~ N(0, σ²/K) per element
+w = jnp.zeros((plan.Kpad,), jnp.float32).at[:K].set(1.0 / K)
+dU = pr.pallas_weighted_update(dyn, cost, x0, U, key, sigma, w, K=K)
+scale = float(jnp.std(dU / sigma)) * (K ** 0.5)
+assert 0.7 < scale < 1.3, f"dU scale off: {scale}"
+
+# --- full fused solve through the controller: finite, clamped, weights sum 1
+cfg = MPPIConfig(
+    env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
+    dt=0.1, lambda_=1.3, noise=(0.25, 0.2, 0.3),
+    init_act=(0.0, 0.0, 0.0), max_a=(1.0, 1.0, 1.0),
+    goal=(1.0, 0.5, 0.75, 0.0, 0.0, 0.0),
+    cost_type="quadratic", cost_w=(1.0, 1.0, 1.0, 5.0, 5.0, 5.0),
+)
+ctrl = MPPIController(cfg, rollout_backend="auto")
+assert ctrl.rollout_backend == "pallas", ctrl.rollout_backend
+res = ctrl.solve(x0, ctrl.init_action_seq(), ctrl.init_key())
+action = jax.block_until_ready(res.action)
+assert jnp.all(jnp.isfinite(action))
+assert jnp.all(jnp.abs(res.info.u_seq) <= 1.0 + 1e-6)
+assert abs(float(jnp.sum(res.info.weights)) - 1.0) < 1e-3
+assert res.info.costs.shape == (K,)
+# receding-horizon shift: u_next[:-1] == u_seq[1:], last repeated
+assert jnp.allclose(res.u_next[:-1], res.info.u_seq[1:])
+assert jnp.allclose(res.u_next[-1], res.info.u_seq[-1])
+
+# --- fused vs scan agreement in expectation: with identical key the noise
+# streams differ (threefry vs on-chip PRNG), but the solved action must agree
+# in distribution; check against the scan solve within statistical tolerance.
+ctrl_scan = MPPIController(cfg, rollout_backend="scan")
+res_scan = ctrl_scan.solve(x0, ctrl.init_action_seq(), ctrl.init_key())
+assert jnp.all(jnp.abs(res.action - res_scan.action) < 0.5), (
+    res.action, res_scan.action,
+)
+
+print("PALLAS_TPU_OK")
