@@ -124,6 +124,13 @@ void mppi_world_get_x(World* w, float* x) {
 
 float mppi_world_time(World* w) { return w->time; }
 
+// Restore world state from a checkpoint: x = [q(0..a-1), qd(0..a-1)].
+void mppi_world_set_state(World* w, const float* x, float time) {
+  for (int i = 0; i < w->p.n_axes; ++i) w->q[i] = x[i];
+  for (int i = 0; i < w->p.n_axes; ++i) w->qd[i] = x[w->p.n_axes + i];
+  w->time = time;
+}
+
 int mppi_world_steps_per_control(World* w) { return w->steps_per_control; }
 
 // Open-loop rollout for the model-mismatch harness: apply u_seq[(n, a)] one

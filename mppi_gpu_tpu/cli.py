@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
         help="run the whole episode as one jitted scan (JAX world only)",
     )
     p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--checkpoint", default=None, help="checkpoint .npz path")
+    p.add_argument("--checkpoint-every", type=int, default=50)
+    p.add_argument("--resume", default=None, help="resume from checkpoint .npz")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--verbose", "-v", action="store_true")
     p.add_argument("--profile", default=None, help="jax.profiler trace dir")
@@ -86,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
                 step_dump_every=args.dump_every if args.step_dump_dir else None,
                 step_dump_dir=args.step_dump_dir,
                 verbose=args.verbose,
+                checkpoint_path=args.checkpoint,
+                checkpoint_every=args.checkpoint_every if args.checkpoint else None,
+                resume_from=args.resume,
             )
 
     final = result.final_state

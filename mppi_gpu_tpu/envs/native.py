@@ -63,6 +63,7 @@ def _load() -> ctypes.CDLL | None:
         lib.mppi_world_get_x.argtypes = [ctypes.c_void_p, f32p]
         lib.mppi_world_time.restype = ctypes.c_float
         lib.mppi_world_time.argtypes = [ctypes.c_void_p]
+        lib.mppi_world_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
         lib.mppi_world_steps_per_control.restype = ctypes.c_int
         lib.mppi_world_steps_per_control.argtypes = [ctypes.c_void_p]
         lib.mppi_world_rollout.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
@@ -141,6 +142,16 @@ class NativePointMassWorld:
     @property
     def time(self) -> float:
         return float(self._lib.mppi_world_time(self._handle))
+
+    def set_state(self, x: np.ndarray, time: float) -> None:
+        """Restore from a checkpoint: x = [q, qd], sim time."""
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.shape != (2 * self.params.n_axes,):
+            raise ValueError(f"x must have shape ({2 * self.params.n_axes},)")
+        self._lib.mppi_world_set_state(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(time),
+        )
 
     def rollout(self, u_seq: np.ndarray) -> np.ndarray:
         """Open-loop rollout (mismatch harness): (n, a) controls →

@@ -77,6 +77,12 @@ class _JaxWorldAdapter:
     def time(self) -> float:
         return float(self.state.time)
 
+    def set_state(self, x: np.ndarray, time: float) -> None:
+        """Restore from a checkpoint: x = [q, qd], sim time."""
+        n = self.params.n_axes
+        x = jnp.asarray(x, jnp.float32)
+        self.state = WorldState(q=x[:n], qd=x[n:], time=jnp.float32(time))
+
 
 def run_closed_loop(
     ctrl: MPPIController,
@@ -88,22 +94,52 @@ def run_closed_loop(
     step_dump_every: int | None = None,
     step_dump_dir: str | os.PathLike | None = None,
     verbose: bool = False,
+    checkpoint_path: str | os.PathLike | None = None,
+    checkpoint_every: int | None = None,
+    resume_from: str | os.PathLike | None = None,
 ) -> EpisodeResult:
-    """Interactive closed loop (the reference's main loop, src/main.cu:326-374)."""
+    """Interactive closed loop (the reference's main loop, src/main.cu:326-374).
+
+    Checkpoint/resume (no reference analog): with `checkpoint_path` +
+    `checkpoint_every`, the loop state (step, U, base key, world state) is
+    snapshotted atomically every N steps; `resume_from` restores it and the
+    run continues bit-identically to an uninterrupted one (the per-step key
+    is derived by folding the absolute step index into the base key). On
+    resume, the returned EpisodeResult covers only the resumed suffix."""
     params = world_params or world_params_for_config(ctrl.cfg)
     world = _make_world(params, world_backend)
 
     U = ctrl.init_action_seq()
     key = ctrl.init_key()
     timer = SolveTimer()
+    step = 0
+
+    if resume_from is not None:
+        from mppi_gpu_tpu.io.checkpoint import load_checkpoint
+
+        ck = load_checkpoint(resume_from)
+        U = jnp.asarray(ck.U)
+        key = ck.key()
+        step = ck.step
+        world.set_state(ck.x, ck.time)
 
     xs = [world.get_x()]
     us: list[np.ndarray] = []
     times: list[float] = []
 
-    step = 0
     limit = max_steps if max_steps is not None else params.num_control_steps() + 5
     while step < limit:
+        if (
+            checkpoint_path is not None
+            and checkpoint_every
+            and step % checkpoint_every == 0
+        ):
+            from mppi_gpu_tpu.io.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                checkpoint_path, step=step, U=U, key=key,
+                x=xs[-1], time=world.time, cfg=ctrl.cfg,
+            )
         x = jnp.asarray(xs[-1])
         U_prev = U
         with timer.measure():

@@ -1,0 +1,92 @@
+"""Smoke + oracle tests for the analysis scripts (scripts/plot_*.py) — the
+layer matching the reference's scripts/ (plot_csv.py, plot_traj.py,
+plot_miss.py). plot_csv's oracle check is live: it must PASS on a dump our
+own controller produced, and FAIL on a corrupted one."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from mppi_gpu_tpu.config import load_config
+from mppi_gpu_tpu.controller import MPPIController
+from mppi_gpu_tpu.io.csvio import write_step_dump_csv, write_traj_csv
+from mppi_gpu_tpu.miss import run_mismatch, save_mismatch_csv
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+CFG = os.path.join(ROOT, "configs", "mppi-config-test.yaml")
+
+
+def _load_script(name):
+    path = os.path.join(ROOT, "scripts", name)
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def dump_csv(tmp_path_factory):
+    cfg = load_config(CFG)
+    ctrl = MPPIController(cfg)
+    x = np.zeros(cfg.state_dim, np.float32)
+    U = ctrl.init_action_seq()
+    res, eps, traj = ctrl.solve_debug(x, U, ctrl.init_key())
+    path = tmp_path_factory.mktemp("dumps") / "step_00000.csv"
+    write_step_dump_csv(
+        path, np.asarray(traj), np.asarray(eps),
+        np.asarray(res.info.u_seq), np.asarray(U),
+        np.asarray(res.info.weights), np.asarray(res.info.costs),
+    )
+    return str(path)
+
+
+def test_plot_csv_oracle_passes_on_real_dump(dump_csv, tmp_path):
+    mod = _load_script("plot_csv.py")
+    rc = mod.main([dump_csv, "-c", CFG, "-o", str(tmp_path / "o.png")])
+    assert rc == 0
+    assert (tmp_path / "o.png").exists()
+
+
+def test_plot_csv_oracle_fails_on_corrupted_dump(dump_csv, tmp_path):
+    corrupted = tmp_path / "bad.csv"
+    lines = open(dump_csv).read().splitlines()
+    # corrupt the last data row's weight (load_dump keeps the last row's
+    # value per sample, so corrupting an interior row would be masked)
+    hdr = lines[0].split(",")
+    wi = hdr.index("w")
+    parts = lines[-1].split(",")
+    parts[wi] = str(float(parts[wi]) + 0.5)
+    lines[-1] = ",".join(parts)
+    corrupted.write_text("\n".join(lines) + "\n")
+    mod = _load_script("plot_csv.py")
+    rc = mod.main([str(corrupted), "-c", CFG, "-o", str(tmp_path / "o.png")])
+    assert rc == 1
+
+
+def test_plot_traj(tmp_path):
+    path = tmp_path / "traj.csv"
+    n = 20
+    write_traj_csv(
+        path, np.linspace(0, 1, n),
+        np.random.default_rng(0).normal(size=(n, 4)),
+        np.random.default_rng(1).normal(size=(n, 2)),
+    )
+    mod = _load_script("plot_traj.py")
+    cfg2d = os.path.join(ROOT, "configs", "point_mass2d.yaml")
+    rc = mod.main([str(path), "-c", cfg2d, "-o", str(tmp_path / "t.png")])
+    assert rc == 0 and (tmp_path / "t.png").exists()
+
+
+def test_plot_miss(tmp_path):
+    res = run_mismatch(2, n_steps=10)
+    path = tmp_path / "miss.csv"
+    save_mismatch_csv(str(path), res)
+    mod = _load_script("plot_miss.py")
+    rc = mod.main([str(path), "-o", str(tmp_path / "m.png")])
+    assert rc == 0 and (tmp_path / "m.png").exists()
