@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        return _main(args)
+    except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+def _main(args) -> int:
 
     from mppi_gpu_tpu.config import load_config
     from mppi_gpu_tpu.controller import MPPIController
@@ -76,6 +84,19 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.step_dump_dir:
         os.makedirs(args.step_dump_dir, exist_ok=True)
+
+    from mppi_gpu_tpu.utils.guard import ControllerDiverged
+
+    try:
+        return _run(args, cfg, ctrl)
+    except ControllerDiverged as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 3
+
+
+def _run(args, cfg, ctrl) -> int:
+    from mppi_gpu_tpu.runner import run_closed_loop, run_episode_jit
+    from mppi_gpu_tpu.utils.timing import profiler_trace
 
     with profiler_trace(args.profile):
         if args.jit_episode:

@@ -97,6 +97,7 @@ def run_closed_loop(
     checkpoint_path: str | os.PathLike | None = None,
     checkpoint_every: int | None = None,
     resume_from: str | os.PathLike | None = None,
+    validate: bool = True,
 ) -> EpisodeResult:
     """Interactive closed loop (the reference's main loop, src/main.cu:326-374).
 
@@ -147,6 +148,12 @@ def run_closed_loop(
             res.action.block_until_ready()
         action = np.asarray(res.action)
         U = res.u_next
+        if validate:
+            # free on the happy path: `action` is already on the host, and the
+            # (K,) diagnostics are only fetched after a failure is detected
+            from mppi_gpu_tpu.utils.guard import check_solve
+
+            check_solve(step, action, res.info)
 
         if step_dump_every and step % step_dump_every == 0 and step_dump_dir:
             # Re-run the identical solve (same key) materializing eps + full
