@@ -25,7 +25,7 @@ import jax.numpy as jnp
 BASELINE_MS = 300.0  # reference GPU, K=1e4, T=200 (README.md:35)
 
 
-def build(K: int, T: int, backend: str):
+def build(K: int, T: int, backend: str, antithetic: bool = False):
     from mppi_gpu_tpu.config import MPPIConfig
     from mppi_gpu_tpu.controller import MPPIController
 
@@ -35,11 +35,13 @@ def build(K: int, T: int, backend: str):
         init_act=(0.0, 0.0, 0.0), max_a=(1.0, 1.0, 1.0),
         goal=(1.0, 0.5, 0.75, 0.0, 0.0, 0.0),
         cost_type="quadratic", cost_w=(1.0, 1.0, 1.0, 5.0, 5.0, 5.0),
+        antithetic=antithetic,
     )
     return MPPIController(cfg, rollout_backend=backend)
 
 
-def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int) -> dict:
+def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
+                antithetic: bool = False) -> dict:
     """Times one MPPI solve by differencing two chained-scan lengths.
 
     Host wall-clock around a single dispatch is unusable on a tunneled TPU
@@ -53,7 +55,7 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int) -> dict:
 
     import numpy as np
 
-    ctrl = build(K, T, backend)
+    ctrl = build(K, T, backend, antithetic)
     x = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
     U0 = ctrl.init_action_seq()
     key0 = jax.random.key(0)
@@ -104,12 +106,13 @@ def main() -> int:
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--extra", action="store_true", help="also bench K=1e5")
+    p.add_argument("--antithetic", action="store_true", help="mirrored noise pairs")
     args = p.parse_args()
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} ({dev})", file=sys.stderr)
 
-    s = bench_solve(args.k, args.t, args.backend, args.iters, args.warmup)
+    s = bench_solve(args.k, args.t, args.backend, args.iters, args.warmup, args.antithetic)
     ms = s["p50_ms"]
     print(
         f"K={args.k} T={args.t} backend={args.backend}: "
@@ -120,7 +123,7 @@ def main() -> int:
     )
 
     if args.extra:
-        s5 = bench_solve(100_000, args.t, args.backend, max(args.iters // 3, 5), 3)
+        s5 = bench_solve(100_000, args.t, args.backend, max(args.iters // 3, 5), 3, args.antithetic)
         print(
             f"K=100000 T={args.t}: p50={s5['p50_ms']:.3f} ms "
             f"({1e3 / s5['p50_ms']:.1f} solves/s)",

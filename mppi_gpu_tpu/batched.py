@@ -1,0 +1,95 @@
+"""Batched multi-robot MPPI: one jitted program solves B independent control
+problems at once via `jax.vmap`.
+
+No reference analog (the reference is strictly one controller, one robot) —
+this is a TPU-native extension: a fleet of B robots at K samples each gives
+the accelerator a (B·K)-wide batch, which is exactly how to keep the VPU/MXU
+fed when a single robot's K is modest. Dynamics and cost are shared; goals
+may differ per robot (the common fleet case) by vmapping over the cost's
+goal leaf.
+
+Uses the scan rollout backend: `vmap` composes with `lax.scan` trivially,
+whereas the Pallas kernels assume their grid axis 0 is the K-tile index and
+would mis-seed under vmap's prepended batch axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mppi_gpu_tpu.config import MPPIConfig
+from mppi_gpu_tpu.controller import MPPIController, SolveResult, mppi_solve
+from mppi_gpu_tpu.models.base import Dynamics
+from mppi_gpu_tpu.ops.cost import Cost, QuadraticCost
+
+
+class BatchedMPPIController(MPPIController):
+    """Solves B control problems per call: states (B, s), sequences
+    (B, T, a), keys (B,). `solve_batch` returns a SolveResult whose leaves
+    all carry a leading B axis."""
+
+    def __init__(
+        self,
+        cfg: MPPIConfig,
+        n_robots: int,
+        dynamics: Dynamics | None = None,
+        cost: Cost | None = None,
+        *,
+        goals: jax.Array | None = None,  # (B, s) per-robot goals (optional)
+    ) -> None:
+        super().__init__(cfg, dynamics, cost, rollout_backend="scan")
+        self.n_robots = n_robots
+
+        cost_axes = None
+        if goals is not None:
+            goals = jnp.asarray(goals, jnp.float32)
+            if goals.shape != (n_robots, cfg.state_dim):
+                raise ValueError(
+                    f"goals must be ({n_robots}, {cfg.state_dim}), got {goals.shape}"
+                )
+            if not isinstance(self.cost, QuadraticCost):
+                raise TypeError("per-robot goals require QuadraticCost")
+            self.cost = QuadraticCost(
+                w=self.cost.w, goal=goals,
+                lambda_=self.cost.lambda_, inv_s=self.cost.inv_s,
+            )
+            cost_axes = QuadraticCost(w=None, goal=0, lambda_=None, inv_s=None)
+
+        solve = partial(
+            mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,
+            rollout_backend="scan", antithetic=cfg.antithetic,
+        )
+        self._solve_batch = jax.jit(
+            jax.vmap(
+                solve,
+                in_axes=(None, cost_axes, 0, 0, 0, None, None, None),
+            )
+        )
+
+    # -- batched state helpers --------------------------------------------
+    def init_action_seqs(self) -> jax.Array:
+        return jnp.broadcast_to(
+            self.init_action_seq()[None],
+            (self.n_robots, self.cfg.horizon, self.cfg.action_dim),
+        )
+
+    def init_keys(self) -> jax.Array:
+        return jax.random.split(self.init_key(), self.n_robots)
+
+    # -- batched solve -----------------------------------------------------
+    def solve_batch(
+        self, xs: jax.Array, Us: jax.Array, keys: jax.Array
+    ) -> SolveResult:
+        """One MPPI solve per robot, all in a single XLA program."""
+        return self._solve_batch(
+            self.dynamics, self.cost, xs, Us, keys,
+            self.sigma, self.lambda_, self.max_a,
+        )
+
+    def solve_batch_auto(
+        self, xs: jax.Array, Us: jax.Array, keys: jax.Array, step: int
+    ) -> SolveResult:
+        return self.solve_batch(xs, Us, jax.vmap(jax.random.fold_in, (0, None))(keys, step))

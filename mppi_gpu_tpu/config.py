@@ -13,7 +13,8 @@ init-act, max-a, goal, cost: {type, w}`` — and, unlike the reference, actually
                    src/main.cu:678-684);
   * ``cost.type``— cost registry lookup (reference has only quadratic).
 
-Extra (new) optional keys: ``clamp-action`` (bool, default true), ``seed``
+Extra (new) optional keys: ``antithetic`` (bool, default false: mirrored
+noise pairs for variance reduction), ``clamp-action`` (bool, default true), ``seed``
 (int), ``inv-sigma`` ("identity" | "from-noise": whether the uᵀΣ⁻¹ε cost term
 uses Σ⁻¹=I like the reference, src/point_mass_gpu.cu:58-61, or the MPPI-paper
 Σ⁻¹=diag(1/σ²)).
@@ -75,6 +76,9 @@ class MPPIConfig:
     clamp_action: bool = True
     inv_sigma: str = "identity"       # "identity" | "from-noise"
     seed: int = 0
+    antithetic: bool = False          # mirrored noise pairs (ε, −ε): variance
+                                      # reduction + half the PRNG work; K must
+                                      # be even
 
     def __post_init__(self) -> None:
         if self.samples < 1:
@@ -85,6 +89,10 @@ class MPPIConfig:
             raise ConfigError(f"dt must be > 0, got {self.dt}")
         if self.inv_sigma not in ("identity", "from-noise"):
             raise ConfigError(f"inv-sigma must be 'identity' or 'from-noise'")
+        if self.antithetic and self.samples % 2 != 0:
+            raise ConfigError(
+                f"antithetic sampling needs an even number of samples, got {self.samples}"
+            )
         # Dimension warnings in the reference (src/main.cu:530-612) are hard
         # errors here: silent dim mismatch is never what the user wants.
         checks = (
@@ -146,6 +154,7 @@ def config_from_mapping(doc: Mapping[str, Any]) -> MPPIConfig:
         clamp_action=bool(doc.get("clamp-action", True)),
         inv_sigma=str(doc.get("inv-sigma", "identity")),
         seed=int(doc.get("seed", 0)),
+        antithetic=bool(doc.get("antithetic", False)),
     )
 
 

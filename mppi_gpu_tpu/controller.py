@@ -53,11 +53,23 @@ class SolveResult(NamedTuple):
 
 
 def sample_noise(
-    key: jax.Array, T: int, K: int, action_dim: int, sigma: jax.Array
+    key: jax.Array,
+    T: int,
+    K: int,
+    action_dim: int,
+    sigma: jax.Array,
+    *,
+    antithetic: bool = False,
 ) -> jax.Array:
     """ε ~ N(0, diag(σ²)), shape (T, K, a). Counter-based threefry: fully
     deterministic given the key — replaces the reference's stateful cuRAND
-    per-thread states (src/point_mass.cu:780) with replayable keys."""
+    per-thread states (src/point_mass.cu:780) with replayable keys.
+
+    With `antithetic`, rollouts come in mirrored pairs (ε, −ε): same
+    marginals, lower-variance softmin update, half the PRNG work."""
+    if antithetic:
+        half = sigma * jax.random.normal(key, (T, K // 2, action_dim), jnp.float32)
+        return jnp.concatenate([half, -half], axis=1)
     return sigma * jax.random.normal(key, (T, K, action_dim), jnp.float32)
 
 
@@ -129,19 +141,20 @@ def mppi_solve(
     clamp: bool = True,
     axis_name: str | None = None,
     rollout_backend: str = "scan",
+    antithetic: bool = False,
 ) -> SolveResult:
     """One full MPPI solve: sample ε, roll out K trajectories over T, softmin
     update, clamp, shift. Pure and jittable; `K` is per-shard when running
     under `shard_map` with `axis_name` set."""
     T, a = U.shape
     if rollout_backend == "scan":
-        eps = sample_noise(key, T, K, a, sigma)
+        eps = sample_noise(key, T, K, a, sigma, antithetic=antithetic)
         S = rollout_costs(dyn, cost, x0, U, eps)
         return solve_from_costs(S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name)
     if rollout_backend in ("pallas", "pallas-interpret"):
         return pallas_solve(
             dyn, cost, x0, U, key, sigma, lambda_, max_a,
-            K=K, clamp=clamp, axis_name=axis_name,
+            K=K, clamp=clamp, axis_name=axis_name, antithetic=antithetic,
             interpret=rollout_backend == "pallas-interpret",
         )
     raise ValueError(f"unknown rollout backend '{rollout_backend}'")
@@ -160,6 +173,7 @@ def pallas_solve(
     K: int,
     clamp: bool = True,
     axis_name: str | None = None,
+    antithetic: bool = False,
     interpret: bool = False,
 ) -> SolveResult:
     """Fused-kernel MPPI solve: the (T, K, a) noise tensor never exists in
@@ -170,13 +184,14 @@ def pallas_solve(
 
     pr.check_supported(dyn, cost)
     S_pad = pr.pallas_rollout_costs(
-        dyn, cost, x0, U, key, sigma, K=K, interpret=interpret
+        dyn, cost, x0, U, key, sigma, K=K, antithetic=antithetic, interpret=interpret
     )
     # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to exactly 0,
     # so they drop out of η and ΔU without any masking here.
     sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
     dU = pr.pallas_weighted_update(
-        dyn, cost, x0, U, key, sigma, sm.weights, K=K, interpret=interpret
+        dyn, cost, x0, U, key, sigma, sm.weights,
+        K=K, antithetic=antithetic, interpret=interpret,
     )
     if axis_name is not None:
         dU = jax.lax.psum(dU, axis_name)
@@ -249,6 +264,7 @@ class MPPIController:
             K=cfg.samples,
             clamp=cfg.clamp_action,
             rollout_backend=rollout_backend,
+            antithetic=cfg.antithetic,
         )
         donate = (3,) if donate_u else ()  # donate U's buffer (dyn, cost, x0, U, key,...)
         self._solve = jax.jit(solve, donate_argnums=donate)
@@ -301,7 +317,10 @@ class MPPIController:
 
             def dbg(dyn, cost, x, U, key, sigma, lambda_, max_a):
                 T, a = U.shape
-                eps = sample_noise(key, T, self.cfg.samples, a, sigma)
+                eps = sample_noise(
+                    key, T, self.cfg.samples, a, sigma,
+                    antithetic=self.cfg.antithetic,
+                )
                 S, xs = rollout_trajectories(dyn, cost, x, U, eps)
                 res = solve_from_costs(
                     S, eps, U, lambda_, max_a, clamp=self.cfg.clamp_action

@@ -67,13 +67,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_kb(K_lanes: int) -> int:
+def _pick_kb(K_lanes: int, antithetic: bool) -> int:
     """Lanes of rollouts per grid step. Must be a multiple of 256 (the
-    Box-Muller pair trick concatenates two KB/2 halves, each ≥1 lane tile).
-    2048 measured fastest on v5e at K=10⁵; tunable via MPPI_PALLAS_KB."""
-    kb = int(os.environ.get("MPPI_PALLAS_KB", "2048"))
+    Box-Muller pair trick concatenates two KB/2 halves, each ≥1 lane tile) —
+    512 with antithetic mirroring on top. 2048 measured fastest on v5e at
+    K=10⁵; tunable via MPPI_PALLAS_KB."""
+    gran = 512 if antithetic else 256
+    kb = max(gran, int(os.environ.get("MPPI_PALLAS_KB", "2048")))
     if K_lanes <= kb:
-        return max(256, _round_up(K_lanes, 256))
+        return max(gran, _round_up(K_lanes, gran))
     return kb
 
 
@@ -86,6 +88,7 @@ class PallasPlan(NamedTuple):
     Kpg: int      # padded rollouts per group (= lanes per group = grid*KB)
     T: int
     Tpad: int
+    anti: bool = False   # antithetic: lanes [KB/2, KB) mirror lanes [0, KB/2)
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -96,13 +99,16 @@ class PallasPlan(NamedTuple):
         return self.Kpg // self.KB
 
 
-def make_plan(K: int, T: int, action_dim: int) -> PallasPlan:
+def make_plan(K: int, T: int, action_dim: int, antithetic: bool = False) -> PallasPlan:
     if not 1 <= action_dim <= SUB:
         raise ValueError(f"pallas backend supports 1<=action_dim<={SUB}, got {action_dim}")
     G = SUB // action_dim
-    KB = _pick_kb(_round_up(K, G) // G)
+    KB = _pick_kb(_round_up(K, G) // G, antithetic)
     Kpg = _round_up(_round_up(K, G) // G, KB)
-    return PallasPlan(K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T, Tpad=_round_up(T, LANE))
+    return PallasPlan(
+        K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
+        Tpad=_round_up(T, LANE), anti=antithetic,
+    )
 
 
 def _standard_normal(shape: tuple[int, int]) -> jax.Array:
@@ -121,6 +127,17 @@ def _standard_normal(shape: tuple[int, int]) -> jax.Array:
     r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
     theta = (2.0 * jnp.pi) * u2
     return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
+
+
+def _sample_eps(sigma, KB: int, anti: bool) -> jax.Array:
+    """(SUB, KB) noise tile. With `anti`, the upper KB/2 lanes mirror the
+    lower half (ε, −ε pairs): variance reduction + half the PRNG work."""
+    if anti:
+        n = _standard_normal((SUB, KB // 2))
+        n = jnp.concatenate([n, -n], axis=1)
+    else:
+        n = _standard_normal((SUB, KB))
+    return sigma * n
 
 
 def _onehot_lanes(t: jax.Array, n: int) -> jax.Array:
@@ -163,7 +180,7 @@ def _rollout_cost_kernel(
 
     def body(t, carry):
         q, qd, acc = carry
-        eps = sigma * _standard_normal((SUB, KB))
+        eps = _sample_eps(sigma, KB, plan.anti)
         u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
         u_b = jnp.broadcast_to(u_t, (SUB, KB))
         u_eff = u_b + eps
@@ -222,7 +239,7 @@ def _weighted_update_kernel(
         du_ref[:, :] = jnp.zeros_like(du_ref)
 
     def body(t, acc):
-        eps = sigma * _standard_normal((SUB, KB))
+        eps = _sample_eps(sigma, KB, plan.anti)
         col = jnp.sum(w_exp * eps, axis=1, keepdims=True)  # (SUB, 1)
         # fold groups: dU_t[i] = Σ_g col[g*A + i]
         fold = col[0:A]
@@ -285,12 +302,13 @@ def pallas_rollout_costs(
     sigma: jax.Array,
     *,
     K: int,
+    antithetic: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Kernel A: per-rollout total costs, shape (Kpad,) with BIG in the pad.
     The (T, K, a) noise is generated on-chip and discarded — regenerate it
     deterministically with :func:`pallas_weighted_update` (same key)."""
-    plan = make_plan(K, U.shape[0], U.shape[1])
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
     ints, scal, u_tile, p = _pack_inputs(dyn, cost, x0, U, key, sigma, plan)
     S = pl.pallas_call(
         functools.partial(_rollout_cost_kernel, plan=plan),
@@ -319,13 +337,14 @@ def pallas_weighted_update(
     weights: jax.Array,  # (Kpad,) softmin weights (0 in the pad)
     *,
     K: int,
+    antithetic: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Kernel B: ΔU[t] = Σ_k w_k ε_k[t] (T, a), regenerating ε from `key`.
     This is the reference's `update_act` T-loop of reduction ladders
     (src/point_mass.cu:384-480) as one single-launch kernel with zero HBM
     traffic for ε."""
-    plan = make_plan(K, U.shape[0], U.shape[1])
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
     ints, scal, u_tile, p = _pack_inputs(dyn, cost, x0, U, key, sigma, plan)
     dU = pl.pallas_call(
         functools.partial(_weighted_update_kernel, plan=plan),

@@ -52,6 +52,7 @@ def sharded_mppi_solve(
     clamp: bool = True,
     axis_name: str = ROLLOUT_AXIS,
     rollout_backend: str = "scan",
+    antithetic: bool = False,
 ) -> SolveResult:
     """One MPPI solve with K rollouts sharded over `mesh`'s `axis_name` axis.
 
@@ -71,7 +72,7 @@ def sharded_mppi_solve(
         return mppi_solve(
             dyn, cost, x0, U, local_key, sigma, lambda_, max_a,
             K=k_loc, clamp=clamp, axis_name=axis_name,
-            rollout_backend=rollout_backend,
+            rollout_backend=rollout_backend, antithetic=antithetic,
         )
 
     out_specs = SolveResult(
@@ -125,5 +126,6 @@ class ShardedMPPIController(MPPIController):
             K=cfg.samples,
             clamp=cfg.clamp_action,
             rollout_backend=self.rollout_backend,
+            antithetic=cfg.antithetic,
         )
         self._solve = jax.jit(solve)

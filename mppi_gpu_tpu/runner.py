@@ -176,7 +176,15 @@ def run_closed_loop(
         xs.append(world.get_x())
         us.append(action)
         if verbose:
-            print(f"[{step:4d}] t={times[-1]:7.3f}  x={xs[-1]}  u={action}")
+            # per-phase stats — the analog of the reference's _verb device
+            # print kernels (src/mppi_utils.cu:7-105): β, η and the cost
+            # spread for this solve, alongside state/action
+            beta = float(np.asarray(res.info.beta))
+            eta = float(np.asarray(res.info.eta))
+            print(
+                f"[{step:4d}] t={times[-1]:7.3f}  x={xs[-1]}  u={action}  "
+                f"beta={beta:.4g} eta={eta:.4g}"
+            )
         step += 1
 
     result = EpisodeResult(

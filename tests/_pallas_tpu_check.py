@@ -88,4 +88,20 @@ assert jnp.all(jnp.abs(res.action - res_scan.action) < 0.5), (
     res.action, res_scan.action,
 )
 
+# --- antithetic mode: mirror lanes carry exactly −ε of their pair, and the
+# kernel A/B cross-check still holds
+plan_a = pr.make_plan(K, T, A, antithetic=True)
+S_a = jax.jit(lambda *a: pr.pallas_rollout_costs(*a, K=K, antithetic=True))(
+    dyn, cost, x0, U, key, sigma
+)
+half = plan_a.KB // 2
+for k, k_mirror in ((0, half), (3, 3 + half)):
+    w1 = jnp.zeros((plan_a.Kpad,), jnp.float32).at[k].set(1.0)
+    w2 = jnp.zeros((plan_a.Kpad,), jnp.float32).at[k_mirror].set(1.0)
+    e1 = pr.pallas_weighted_update(dyn, cost, x0, U, key, sigma, w1, K=K, antithetic=True)
+    e2 = pr.pallas_weighted_update(dyn, cost, x0, U, key, sigma, w2, K=K, antithetic=True)
+    assert jnp.allclose(e1, -e2), "mirror lanes must carry negated noise"
+    S_ref = float(rollout_costs(dyn, cost, x0, U, e1[:, None, :])[0])
+    assert abs(float(S_a[k]) - S_ref) < 1e-4 * max(1.0, abs(S_ref))
+
 print("PALLAS_TPU_OK")
