@@ -70,6 +70,25 @@ class WorldParams:
 
 
 def world_params_for_config(cfg: MPPIConfig) -> WorldParams:
-    """Map a config's `env` entry (an XML path in the reference schema) to
-    world params by dimensionality."""
+    """Map a config's `env` entry to world params. If `env` is a path to a
+    MuJoCo XML (the reference schema — its YAML points at envs/*.xml), the
+    physics is parsed from the XML; otherwise (a bare name like
+    "point_mass2d") the built-in constants above apply, keyed by the
+    config's dimensionality."""
+    if str(cfg.env).endswith(".xml"):
+        import os
+
+        if not os.path.exists(cfg.env):
+            raise FileNotFoundError(
+                f"config env points at XML '{cfg.env}' which does not exist"
+            )
+        from mppi_gpu_tpu.envs.xml import load_world_xml
+
+        world = load_world_xml(cfg.env)
+        if world.params.n_axes != cfg.action_dim:
+            raise ValueError(
+                f"XML '{cfg.env}' has {world.params.n_axes} axes but config "
+                f"action-dim is {cfg.action_dim}"
+            )
+        return world.params
     return WorldParams(n_axes=cfg.action_dim)
