@@ -183,18 +183,31 @@ def pallas_solve(
     from mppi_gpu_tpu.ops import pallas_rollout as pr
 
     pr.check_supported(dyn, cost)
-    S_pad = pr.pallas_rollout_costs(
-        dyn, cost, x0, U, key, sigma, K=K, antithetic=antithetic, interpret=interpret
-    )
-    # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to exactly 0,
-    # so they drop out of η and ΔU without any masking here.
-    sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
-    dU = pr.pallas_weighted_update(
-        dyn, cost, x0, U, key, sigma, sm.weights,
-        K=K, antithetic=antithetic, interpret=interpret,
-    )
-    if axis_name is not None:
-        dU = jax.lax.psum(dU, axis_name)
+    if axis_name is None and not interpret:
+        # single-chip: the ENTIRE solve core is one kernel (rollout tiles →
+        # in-VMEM softmin → update tiles); no XLA glue or dispatch between
+        # phases. info's β/η/weights are re-derived lazily from S below and
+        # DCE away when the caller only consumes action/u_next.
+        S_pad, dU = pr.pallas_fused_solve_core(
+            dyn, cost, x0, U, key, sigma, lambda_, K=K, antithetic=antithetic
+        )
+        sm = softmin_weights(S_pad, lambda_)
+    else:
+        plan = pr.make_plan(K, U.shape[0], U.shape[1], antithetic)
+        packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+        S_pad = pr.pallas_rollout_costs(
+            dyn, cost, x0, U, key, sigma,
+            K=K, antithetic=antithetic, interpret=interpret, packed=packed,
+        )
+        # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to
+        # exactly 0, so they drop out of η and ΔU without any masking here.
+        sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
+        dU = pr.pallas_weighted_update(
+            dyn, cost, x0, U, key, sigma, sm.weights,
+            K=K, antithetic=antithetic, interpret=interpret, packed=packed,
+        )
+        if axis_name is not None:
+            dU = jax.lax.psum(dU, axis_name)
     u_new = U + dU
     if clamp:
         u_new = jnp.clip(u_new, -max_a, max_a)

@@ -159,7 +159,7 @@ _P_WQ, _P_WQD, _P_GQ, _P_GQD, _P_SIGMA, _P_INVS, _P_X0Q, _P_X0QD = range(8)
 
 def _rollout_cost_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
-    scal_ref,   # SMEM (1, 2) f32:  [dt, lambda]
+    scal_ref,   # SMEM (1, 3) f32:  [dt, cost λ, softmin λ]
     u_ref,      # VMEM (SUB, Tpad): nominal U — group-tiled rows, transposed
     p_ref,      # VMEM (SUB, 8): parameter pack (see _P_* columns)
     s_ref,      # out VMEM (G, KB): per-rollout total cost, rows = groups
@@ -215,7 +215,7 @@ def _rollout_cost_kernel(
 
 def _weighted_update_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
-    scal_ref,   # SMEM (1, 2) f32:  [dt, lambda]  (unused; same signature)
+    scal_ref,   # SMEM (1, 3) f32:  [dt, cost λ, softmin λ]  (unused; same signature)
     u_ref,      # VMEM (SUB, Tpad)
     p_ref,      # VMEM (SUB, 8)
     w_ref,      # VMEM (G, KB): softmin weights for this tile, rows = groups
@@ -252,7 +252,7 @@ def _weighted_update_kernel(
     du_ref[:, :] += acc
 
 
-def _pack_inputs(
+def pack_inputs(
     dyn: PointMassLTI,
     cost: QuadraticCost,
     x0: jax.Array,
@@ -260,16 +260,23 @@ def _pack_inputs(
     key: jax.Array,
     sigma: jax.Array,
     plan: PallasPlan,
+    softmin_lambda: jax.Array | None = None,
 ):
-    """Host-side (traced) packing of the tiny per-solve inputs. All per-dim
+    """Host-side (traced) packing of the tiny per-solve inputs, shared by both
+    kernels — call once per solve. All per-dim
     vectors are group-tiled: row g*A+i = value for dim i, any group g."""
     A, G, T, Tpad = plan.A, plan.G, plan.T, plan.Tpad
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
     seeds = jax.lax.bitcast_convert_type(kd[:2], jnp.int32)
     ints = jnp.concatenate([seeds, jnp.array([plan.K, T], jnp.int32)]).reshape(1, 4)
+    lam_sm = cost.lambda_ if softmin_lambda is None else softmin_lambda
     scal = jnp.stack(
-        [dyn.dt.astype(jnp.float32), cost.lambda_.astype(jnp.float32)]
-    ).reshape(1, 2)
+        [
+            dyn.dt.astype(jnp.float32),
+            cost.lambda_.astype(jnp.float32),   # control-cost λ
+            jnp.asarray(lam_sm, jnp.float32),   # softmin temperature (fused kernel)
+        ]
+    ).reshape(1, 3)
 
     u_rows = jnp.tile(U.T.astype(jnp.float32), (G, 1))  # (G*A, T)
     u_tile = jnp.zeros((SUB, Tpad), jnp.float32).at[: G * A, :T].set(u_rows)
@@ -304,12 +311,18 @@ def pallas_rollout_costs(
     K: int,
     antithetic: bool = False,
     interpret: bool = False,
+    packed=None,
 ) -> jax.Array:
     """Kernel A: per-rollout total costs, shape (Kpad,) with BIG in the pad.
     The (T, K, a) noise is generated on-chip and discarded — regenerate it
-    deterministically with :func:`pallas_weighted_update` (same key)."""
+    deterministically with :func:`pallas_weighted_update` (same key).
+    Pass `packed` (from :func:`pack_inputs`) to share packing across both
+    kernels of one solve."""
     plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
-    ints, scal, u_tile, p = _pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+    ints, scal, u_tile, p = (
+        packed if packed is not None
+        else pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+    )
     S = pl.pallas_call(
         functools.partial(_rollout_cost_kernel, plan=plan),
         grid=(plan.grid,),
@@ -339,13 +352,17 @@ def pallas_weighted_update(
     K: int,
     antithetic: bool = False,
     interpret: bool = False,
+    packed=None,
 ) -> jax.Array:
     """Kernel B: ΔU[t] = Σ_k w_k ε_k[t] (T, a), regenerating ε from `key`.
     This is the reference's `update_act` T-loop of reduction ladders
     (src/point_mass.cu:384-480) as one single-launch kernel with zero HBM
     traffic for ε."""
     plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
-    ints, scal, u_tile, p = _pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+    ints, scal, u_tile, p = (
+        packed if packed is not None
+        else pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+    )
     dU = pl.pallas_call(
         functools.partial(_weighted_update_kernel, plan=plan),
         grid=(plan.grid,),
@@ -377,3 +394,181 @@ def check_supported(dyn, cost) -> None:
             "pallas rollout backend fuses the quadratic cost; got "
             f"{type(cost).__name__} — use rollout_backend='scan'"
         )
+
+
+def _fused_solve_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 3) f32:  [dt, cost λ, softmin λ]
+    u_ref,      # VMEM (SUB, Tpad)
+    p_ref,      # VMEM (SUB, 8)
+    s_ref,      # out VMEM (G, KB) blocks: per-rollout costs
+    du_ref,     # out VMEM (SUB, Tpad): ΔU
+    sw_scr,     # VMEM scratch (G, Kpg): S during phase A, softmin w after
+    acc_scr,    # VMEM scratch (SUB, Tpad): ΔU accumulator for phase B
+    *, plan: PallasPlan,
+):
+    """The ENTIRE MPPI solve as one kernel: grid = [A-tiles | softmin | B-tiles].
+
+    Phases communicate through `sw_scr`, which persists across grid steps
+    (Pallas TPU scratch semantics): phase A deposits each tile's costs at its
+    lane offset, the middle step turns S into softmin weights **in place**
+    (β, η reduced chunk-wise), and phase B tiles read their weight slice
+    while regenerating the identical noise stream. Single-chip only — the
+    sharded path keeps the two-kernel form so β/η can cross the mesh as
+    pmin/psum between the kernels."""
+    i = pl.program_id(0)
+    A, G, KB, Tpad, nk = plan.A, plan.G, plan.KB, plan.Tpad, plan.grid
+    lam = scal_ref[0, 2]        # softmin temperature
+    lam_cost = scal_ref[0, 1]   # control-cost λ
+    sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
+    u_all = u_ref[:, :]
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[:, :] = jnp.zeros_like(du_ref)
+        acc_scr[:, :] = jnp.zeros_like(acc_scr)
+
+    @pl.when(i < nk)
+    def _():  # ---- phase A: rollout costs for tile i
+        _seed(ints_ref, i)
+        dt = scal_ref[0, 0]
+        hdt2 = 0.5 * dt * dt
+        wq, wqd = p_ref[:, _P_WQ:_P_WQ + 1], p_ref[:, _P_WQD:_P_WQD + 1]
+        gq, gqd = p_ref[:, _P_GQ:_P_GQ + 1], p_ref[:, _P_GQD:_P_GQD + 1]
+        lam_invs = lam_cost * p_ref[:, _P_INVS:_P_INVS + 1]
+        q0 = jnp.broadcast_to(p_ref[:, _P_X0Q:_P_X0Q + 1], (SUB, KB))
+        qd0 = jnp.broadcast_to(p_ref[:, _P_X0QD:_P_X0QD + 1], (SUB, KB))
+
+        def body(t, carry):
+            q, qd, acc = carry
+            eps = _sample_eps(sigma, KB, plan.anti)
+            u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
+            u_b = jnp.broadcast_to(u_t, (SUB, KB))
+            u_eff = u_b + eps
+            q = q + dt * qd + hdt2 * u_eff
+            qd = qd + dt * u_eff
+            dq, dqd = q - gq, qd - gqd
+            acc = acc + (lam_invs * u_b) * eps + wq * dq * dq + wqd * dqd * dqd
+            return q, qd, acc
+
+        zero = jnp.zeros((SUB, KB), jnp.float32)
+        q, qd, acc = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero))
+        dq, dqd = q - gq, qd - gqd
+        acc = acc + wq * dq * dq + wqd * dqd * dqd
+        S = jnp.concatenate(
+            [jnp.sum(acc[g * A:(g + 1) * A], axis=0, keepdims=True) for g in range(G)],
+            axis=0,
+        )
+        gid = (
+            jax.lax.broadcasted_iota(jnp.int32, (G, KB), 0) * plan.Kpg
+            + i * KB
+            + jax.lax.broadcasted_iota(jnp.int32, (G, KB), 1)
+        )
+        S = jnp.where(gid < ints_ref[0, 2], S, jnp.float32(BIG))
+        s_ref[:, :] = S
+        sw_scr[:, pl.ds(pl.multiple_of(i * KB, LANE), KB)] = S
+
+    @pl.when(i == nk)
+    def _():  # ---- softmin in place: S → w = exp(−(S−β)/λ)/η
+        def min_chunk(j, m):
+            c = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]
+            return jnp.minimum(m, jnp.min(c))
+
+        beta = jax.lax.fori_loop(0, nk, min_chunk, jnp.float32(BIG))
+
+        def exp_chunk(j, eta):
+            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
+            e = jnp.exp(-(sw_scr[:, idx] - beta) / lam)
+            sw_scr[:, idx] = e
+            return eta + jnp.sum(e)
+
+        eta = jax.lax.fori_loop(0, nk, exp_chunk, jnp.float32(0.0))
+        inv_eta = 1.0 / eta
+
+        def scale_chunk(j, _):
+            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
+            sw_scr[:, idx] = sw_scr[:, idx] * inv_eta
+            return 0
+
+        jax.lax.fori_loop(0, nk, scale_chunk, 0)
+
+    @pl.when(i > nk)
+    def _():  # ---- phase B: ΔU accumulation for tile j = i − nk − 1
+        j = i - nk - 1
+        _seed(ints_ref, j)  # SAME stream as this tile's phase A
+        w = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]  # (G, KB)
+        w_exp = jnp.concatenate(
+            [w[g:g + 1, :] for g in range(G) for _ in range(A)]
+            + [jnp.zeros((SUB - G * A, KB), jnp.float32)] * (1 if SUB - G * A else 0),
+            axis=0,
+        )
+
+        def body(t, acc):
+            eps = _sample_eps(sigma, KB, plan.anti)
+            col = jnp.sum(w_exp * eps, axis=1, keepdims=True)
+            fold = col[0:A]
+            for g in range(1, G):
+                fold = fold + col[g * A:(g + 1) * A]
+            fold = jnp.concatenate(
+                [fold, jnp.zeros((SUB - A, 1), jnp.float32)], axis=0
+            )
+            return acc + fold * _onehot_lanes(t, Tpad)
+
+        acc = jax.lax.fori_loop(0, plan.T, body, jnp.zeros((SUB, Tpad), jnp.float32))
+        acc_scr[:, :] += acc
+
+        @pl.when(i == 2 * nk)
+        def _():
+            du_ref[:, :] = acc_scr[:, :]
+
+
+def pallas_fused_solve_core(
+    dyn: PointMassLTI,
+    cost: QuadraticCost,
+    x0: jax.Array,
+    U: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    lambda_: jax.Array,
+    *,
+    K: int,
+    antithetic: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
+    no XLA ops or dispatch between the rollout, softmin, and update phases.
+    λ is read from the packed scalars (cost.lambda_). Single-chip path only."""
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
+    ints, scal, u_tile, p = pack_inputs(
+        dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_
+    )
+    nk = plan.grid
+    S, dU = pl.pallas_call(
+        functools.partial(_fused_solve_kernel, plan=plan),
+        grid=(2 * nk + 1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # phase-A tiles write their block; later phases keep re-flushing
+            # the last block with identical content (harmless)
+            pl.BlockSpec(
+                (plan.G, plan.KB),
+                lambda i: (0, jnp.minimum(i, plan.grid - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((plan.G, plan.Kpg), jnp.float32),
+            jax.ShapeDtypeStruct((SUB, plan.Tpad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((plan.G, plan.Kpg), jnp.float32),
+            pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(ints, scal, u_tile, p)
+    return S.reshape(plan.Kpad), dU[: plan.A, : plan.T].T

@@ -104,4 +104,19 @@ for k, k_mirror in ((0, half), (3, 3 + half)):
     S_ref = float(rollout_costs(dyn, cost, x0, U, e1[:, None, :])[0])
     assert abs(float(S_a[k]) - S_ref) < 1e-4 * max(1.0, abs(S_ref))
 
+# --- fused single-kernel solve must equal the two-kernel path exactly
+for anti in (False, True):
+    S2 = pr.pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K, antithetic=anti)
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    sm = softmin_weights(S2, jnp.float32(1.3))
+    dU2 = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, sm.weights, K=K, antithetic=anti
+    )
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, jnp.float32(1.3), K=K, antithetic=anti
+    )
+    assert jnp.allclose(Sf, S2, rtol=1e-6), "fused S mismatch"
+    assert jnp.allclose(dUf, dU2, rtol=2e-4, atol=2e-6), "fused dU mismatch"
+
 print("PALLAS_TPU_OK")
