@@ -80,9 +80,11 @@ def fit_mlp_dynamics(
     lr: float = 1e-3,
     steps: int = 500,
 ) -> tuple[MLPDynamics, jax.Array]:
-    """Simple full-batch Adam-free SGD fit of the surrogate on (x, u, x_next)
-    transitions. Returns (model, per-step loss history). Good enough for the
-    model-learning extension tests; swap in optax for production training."""
+    """Full-batch Adam (optax) fit of the surrogate on (x, u, x_next)
+    transitions as one jitted `lax.scan`. Returns (model, per-step loss
+    history)."""
+    import optax
+
     xs, us, xn = transitions
 
     def loss_fn(params):
@@ -97,14 +99,25 @@ def fit_mlp_dynamics(
         pred = m.step(xs, us)
         return jnp.mean(jnp.sum((pred - xn) ** 2, axis=-1))
 
-    @jax.jit
-    def train_step(params, _):
+    opt = optax.adam(optax.cosine_decay_schedule(lr, steps))
+
+    def train_step(carry, _):
+        params, opt_state = carry
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
-        return params, loss
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
 
     params = (model.weights, model.biases)
-    params, losses = jax.lax.scan(lambda p, _: train_step(p, _), params, None, length=steps)
+
+    @jax.jit
+    def run(params):
+        (params, _), losses = jax.lax.scan(
+            train_step, (params, opt.init(params)), None, length=steps
+        )
+        return params, losses
+
+    params, losses = run(params)
     w, b = params
     return (
         MLPDynamics(

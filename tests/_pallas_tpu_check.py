@@ -119,4 +119,27 @@ for anti in (False, True):
     assert jnp.allclose(Sf, S2, rtol=1e-6), "fused S mismatch"
     assert jnp.allclose(dUf, dU2, rtol=2e-4, atol=2e-6), "fused dU mismatch"
 
+# --- geometry edge cases: tiny/odd K, T=1, G=1 (a=5), one-hot cross-check
+# (the reference's test.cu sweeps n=1..59 x t=1..99 for the same reason:
+# block-boundary and padding bugs live at the edges)
+for (Ae, Ke, Te) in ((1, 1, 1), (2, 3, 5), (3, 255, 2), (3, 257, 1), (5, 100, 4)):
+    dyn_e = PointMassLTI.create(0.07, Ae)
+    cost_e = QuadraticCost(
+        w=jnp.arange(1.0, 2 * Ae + 1.0),
+        goal=jnp.linspace(-0.5, 0.5, 2 * Ae),
+        lambda_=jnp.float32(0.9),
+        inv_s=jnp.full((Ae,), 1.1),
+    )
+    x0_e = jnp.linspace(0.2, -0.2, 2 * Ae)
+    U_e = 0.05 * jnp.cos(jnp.arange(Te * Ae, dtype=jnp.float32)).reshape(Te, Ae)
+    sig_e = jnp.linspace(0.1, 0.3, Ae)
+    S_e = pr.pallas_rollout_costs(dyn_e, cost_e, x0_e, U_e, key, sig_e, K=Ke)
+    plan_e = pr.make_plan(Ke, Te, Ae)
+    for k in {0, Ke - 1}:
+        w_e = jnp.zeros((plan_e.Kpad,), jnp.float32).at[k].set(1.0)
+        eps_k = pr.pallas_weighted_update(dyn_e, cost_e, x0_e, U_e, key, sig_e, w_e, K=Ke)
+        S_ref = float(rollout_costs(dyn_e, cost_e, x0_e, U_e, eps_k[:, None, :])[0])
+        rel = abs(float(S_e[k]) - S_ref) / max(1.0, abs(S_ref))
+        assert rel < 1e-4, f"A={Ae} K={Ke} T={Te} k={k}: rel={rel}"
+
 print("PALLAS_TPU_OK")
