@@ -79,6 +79,8 @@ class MPPIConfig:
     antithetic: bool = False          # mirrored noise pairs (ε, −ε): variance
                                       # reduction + half the PRNG work; K must
                                       # be even
+    obstacles: tuple[tuple[float, ...], ...] = ()  # (x.., radius) per obstacle
+    obstacle_w: float = 1000.0        # penalty for being inside an obstacle
 
     def __post_init__(self) -> None:
         if self.samples < 1:
@@ -151,6 +153,10 @@ def config_from_mapping(doc: Mapping[str, Any]) -> MPPIConfig:
         goal=_as_float_tuple(doc["goal"], "goal"),
         cost_type=str(cost["type"]),
         cost_w=_as_float_tuple(cost["w"], "cost.w"),
+        obstacles=tuple(
+            _as_float_tuple(o, "cost.obstacles[i]") for o in cost.get("obstacles", ())
+        ),
+        obstacle_w=float(cost.get("obstacle-w", 1000.0)),
         clamp_action=bool(doc.get("clamp-action", True)),
         inv_sigma=str(doc.get("inv-sigma", "identity")),
         seed=int(doc.get("seed", 0)),

@@ -58,6 +58,35 @@ class QuadraticCost:
         return jnp.sum(d * self.w * d, axis=-1)
 
 
+@register_dataclass
+@dataclass(frozen=True)
+class ObstacleCost:
+    """Quadratic goal cost + spherical-obstacle penalty (no reference analog
+    — the registry extension point the reference's unused `cost.type` key
+    implied). Obstacles are (center..., radius) spheres in POSITION space;
+    a rollout pays `penalty` per step spent inside any obstacle. The
+    indicator needs no smoothing: MPPI is gradient-free, the softmin simply
+    never selects colliding rollouts once penalty ≫ typical path cost."""
+
+    base: QuadraticCost
+    centers: jax.Array   # (M, a) obstacle centers in position space
+    radii: jax.Array     # (M,)
+    penalty: jax.Array   # scalar
+
+    def _obstacle(self, x: jax.Array) -> jax.Array:
+        a = self.centers.shape[-1]
+        q = x[..., None, :a]                                  # (..., 1, a)
+        d2 = jnp.sum((q - self.centers) ** 2, axis=-1)        # (..., M)
+        inside = d2 < self.radii**2
+        return self.penalty * jnp.sum(inside.astype(x.dtype), axis=-1)
+
+    def step(self, x_next: jax.Array, u: jax.Array, eps: jax.Array) -> jax.Array:
+        return self.base.step(x_next, u, eps) + self._obstacle(x_next)
+
+    def final(self, x: jax.Array) -> jax.Array:
+        return self.base.final(x) + self._obstacle(x)
+
+
 CostFactory = Callable[[MPPIConfig], Cost]
 COST_REGISTRY: dict[str, CostFactory] = {}
 
@@ -81,6 +110,28 @@ def _make_quadratic(cfg: MPPIConfig) -> QuadraticCost:
         goal=jnp.asarray(cfg.goal, jnp.float32),
         lambda_=jnp.float32(cfg.lambda_),
         inv_s=inv_s,
+    )
+
+
+@register_cost("obstacle")
+def _make_obstacle(cfg: MPPIConfig) -> ObstacleCost:
+    if not cfg.obstacles:
+        raise ValueError(
+            "cost.type 'obstacle' needs cost.obstacles: a list of "
+            "[center..., radius] entries (center dims = action-dim)"
+        )
+    for o in cfg.obstacles:
+        if len(o) != cfg.action_dim + 1:
+            raise ValueError(
+                f"each obstacle needs {cfg.action_dim} center coords + radius, "
+                f"got {len(o)} values: {o}"
+            )
+    obs = jnp.asarray(cfg.obstacles, jnp.float32)
+    return ObstacleCost(
+        base=_make_quadratic(cfg),
+        centers=obs[:, :-1],
+        radii=obs[:, -1],
+        penalty=jnp.float32(cfg.obstacle_w),
     )
 
 
