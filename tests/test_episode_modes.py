@@ -1,0 +1,38 @@
+"""The two closed-loop modes — interactive host loop and whole-episode jit —
+must produce identical trajectories (same solves, same key folding, same
+world physics), and the profiler hook must actually capture a trace."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from mppi_gpu_tpu.config import load_config
+from mppi_gpu_tpu.controller import MPPIController
+from mppi_gpu_tpu.runner import run_closed_loop, run_episode_jit
+from mppi_gpu_tpu.utils.timing import profiler_trace
+
+CFG = "configs/mppi-config-test.yaml"
+
+
+def test_interactive_and_jit_episode_agree():
+    cfg = load_config(CFG)
+    n = 12
+    res_host = run_closed_loop(MPPIController(cfg), max_steps=n)
+    res_jit = run_episode_jit(MPPIController(cfg), num_steps=n)
+    assert len(res_host.us) == len(res_jit.us) == n
+    np.testing.assert_allclose(res_host.us, res_jit.us, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res_host.xs[-1], res_jit.xs[-1], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res_host.times, res_jit.times, rtol=1e-5)
+
+
+def test_profiler_trace_writes_files(tmp_path):
+    cfg = load_config(CFG)
+    logdir = str(tmp_path / "trace")
+    with profiler_trace(logdir):
+        run_closed_loop(MPPIController(cfg), max_steps=2)
+    found = [
+        os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs
+    ]
+    assert found, "profiler trace directory is empty"
