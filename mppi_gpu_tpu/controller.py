@@ -259,12 +259,10 @@ class MPPIController:
         rollout_backend: str = "auto",
         donate_u: bool = False,
     ) -> None:
+        from mppi_gpu_tpu.models import dynamics_for_config
+
         self.cfg = cfg
-        self.dynamics = (
-            dynamics
-            if dynamics is not None
-            else PointMassLTI.create(cfg.dt, cfg.action_dim)
-        )
+        self.dynamics = dynamics if dynamics is not None else dynamics_for_config(cfg)
         self.cost = cost if cost is not None else make_cost(cfg)
         self.sigma = jnp.asarray(cfg.noise, jnp.float32)
         self.lambda_ = jnp.float32(cfg.lambda_)

@@ -10,12 +10,38 @@ Two interchangeable backends with identical physics:
 
 from mppi_gpu_tpu.envs.params import WorldParams, world_params_for_config
 from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld
+from mppi_gpu_tpu.envs.pendulum_world import PendulumParams, PendulumWorld
 from mppi_gpu_tpu.envs.native import NativePointMassWorld, native_available
+
+
+def is_pendulum_env(env: str) -> bool:
+    return "pendulum" in str(env)
+
+
+def params_for_config(cfg):
+    """Env-family dispatch: the config's `env` name (or XML path) selects the
+    world family and its physical parameters."""
+    if is_pendulum_env(cfg.env):
+        return PendulumParams(max_torque=max(cfg.max_a))
+    return world_params_for_config(cfg)
+
+
+def make_jax_world(cfg, params=None):
+    params = params if params is not None else params_for_config(cfg)
+    if isinstance(params, PendulumParams):
+        return PendulumWorld(params)
+    return PointMassWorld(params)
+
 
 __all__ = [
     "WorldParams",
     "world_params_for_config",
+    "params_for_config",
+    "make_jax_world",
+    "is_pendulum_env",
     "PointMassWorld",
+    "PendulumWorld",
+    "PendulumParams",
     "NativePointMassWorld",
     "native_available",
 ]

@@ -101,3 +101,8 @@ class PointMassWorld:
 
     def get_x(self, state: WorldState) -> jax.Array:
         return state.x
+
+    def from_x(self, x: jax.Array, time: float) -> WorldState:
+        """Inverse of get_x (checkpoint restore): x = [q, qd]."""
+        n = self.params.n_axes
+        return WorldState(q=x[:n], qd=x[n:], time=jnp.float32(time))

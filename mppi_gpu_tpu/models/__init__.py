@@ -7,6 +7,19 @@ with plain broadcasting, no vmap needed for the analytic models.
 
 from mppi_gpu_tpu.models.base import Dynamics
 from mppi_gpu_tpu.models.point_mass import PointMassLTI
+from mppi_gpu_tpu.models.pendulum import PendulumDynamics
 from mppi_gpu_tpu.models.neural import MLPDynamics, init_mlp_dynamics
 
-__all__ = ["Dynamics", "PointMassLTI", "MLPDynamics", "init_mlp_dynamics"]
+
+def dynamics_for_config(cfg) -> Dynamics:
+    """Default rollout model for a config's env family (override by passing
+    `dynamics=` to the controller)."""
+    if "pendulum" in str(cfg.env):
+        return PendulumDynamics.create(cfg.dt)
+    return PointMassLTI.create(cfg.dt, cfg.action_dim)
+
+
+__all__ = [
+    "Dynamics", "PointMassLTI", "PendulumDynamics", "MLPDynamics",
+    "init_mlp_dynamics", "dynamics_for_config",
+]

@@ -87,6 +87,29 @@ class ObstacleCost:
         return self.base.final(x) + self._obstacle(x)
 
 
+@register_dataclass
+@dataclass(frozen=True)
+class PendulumSwingupCost:
+    """Swing-up cost for the pendulum family: ``w_angle·(1 − cos θ) +
+    w_vel·θ̇²`` per step (θ=0 upright — the trig form handles angle wrap,
+    which a quadratic on θ cannot), plus the standard MPPI control term."""
+
+    w_angle: jax.Array
+    w_vel: jax.Array
+    lambda_: jax.Array
+    inv_s: jax.Array  # (a,)
+
+    def _state(self, x: jax.Array) -> jax.Array:
+        return self.w_angle * (1.0 - jnp.cos(x[..., 0])) + self.w_vel * x[..., 1] ** 2
+
+    def step(self, x_next: jax.Array, u: jax.Array, eps: jax.Array) -> jax.Array:
+        ctrl = self.lambda_ * jnp.sum(u * self.inv_s * eps, axis=-1)
+        return ctrl + self._state(x_next)
+
+    def final(self, x: jax.Array) -> jax.Array:
+        return self._state(x)
+
+
 CostFactory = Callable[[MPPIConfig], Cost]
 COST_REGISTRY: dict[str, CostFactory] = {}
 
@@ -132,6 +155,24 @@ def _make_obstacle(cfg: MPPIConfig) -> ObstacleCost:
         centers=obs[:, :-1],
         radii=obs[:, -1],
         penalty=jnp.float32(cfg.obstacle_w),
+    )
+
+
+@register_cost("pendulum")
+def _make_pendulum(cfg: MPPIConfig) -> PendulumSwingupCost:
+    if len(cfg.cost_w) != 2:
+        raise ValueError(
+            f"pendulum cost needs cost.w = [w_angle, w_vel], got {cfg.cost_w}"
+        )
+    if cfg.inv_sigma == "from-noise":
+        inv_s = 1.0 / (jnp.asarray(cfg.noise, jnp.float32) ** 2)
+    else:
+        inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
+    return PendulumSwingupCost(
+        w_angle=jnp.float32(cfg.cost_w[0]),
+        w_vel=jnp.float32(cfg.cost_w[1]),
+        lambda_=jnp.float32(cfg.lambda_),
+        inv_s=inv_s,
     )
 
 

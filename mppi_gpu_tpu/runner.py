@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mppi_gpu_tpu.controller import MPPIController
-from mppi_gpu_tpu.envs.params import WorldParams, world_params_for_config
+from mppi_gpu_tpu.envs import is_pendulum_env, make_jax_world, params_for_config
+from mppi_gpu_tpu.envs.params import WorldParams
 from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld, WorldState
 from mppi_gpu_tpu.io.csvio import write_step_dump_csv, write_traj_csv
 from mppi_gpu_tpu.utils.timing import SolveTimer
@@ -43,13 +44,18 @@ class EpisodeResult:
         return self.xs[-1]
 
 
-def _make_world(params: WorldParams, backend: str) -> Any:
+def _make_world(cfg, params, backend: str) -> Any:
     if backend == "native":
+        if is_pendulum_env(cfg.env):
+            raise ValueError(
+                "the native C++ world implements the point-mass family only; "
+                "use --world jax for pendulum envs"
+            )
         from mppi_gpu_tpu.envs.native import NativePointMassWorld
 
         return NativePointMassWorld(params)
     if backend == "jax":
-        return _JaxWorldAdapter(PointMassWorld(params))
+        return _JaxWorldAdapter(make_jax_world(cfg, params))
     raise ValueError(f"unknown world backend '{backend}' (native|jax)")
 
 
@@ -78,10 +84,8 @@ class _JaxWorldAdapter:
         return float(self.state.time)
 
     def set_state(self, x: np.ndarray, time: float) -> None:
-        """Restore from a checkpoint: x = [q, qd], sim time."""
-        n = self.params.n_axes
-        x = jnp.asarray(x, jnp.float32)
-        self.state = WorldState(q=x[:n], qd=x[n:], time=jnp.float32(time))
+        """Restore from a checkpoint: x = state vector, sim time."""
+        self.state = self.world.from_x(jnp.asarray(x, jnp.float32), time)
 
 
 def run_closed_loop(
@@ -107,8 +111,8 @@ def run_closed_loop(
     run continues bit-identically to an uninterrupted one (the per-step key
     is derived by folding the absolute step index into the base key). On
     resume, the returned EpisodeResult covers only the resumed suffix."""
-    params = world_params or world_params_for_config(ctrl.cfg)
-    world = _make_world(params, world_backend)
+    params = world_params or params_for_config(ctrl.cfg)
+    world = _make_world(ctrl.cfg, params, world_backend)
 
     U = ctrl.init_action_seq()
     key = ctrl.init_key()
@@ -206,8 +210,8 @@ def run_episode_jit(
 ) -> EpisodeResult:
     """Whole-episode jit: `lax.scan` over control cycles; each cycle is one
     MPPI solve + `steps_per_control` physics steps, all on-device."""
-    params = world_params or world_params_for_config(ctrl.cfg)
-    world = PointMassWorld(params)
+    params = world_params or params_for_config(ctrl.cfg)
+    world = make_jax_world(ctrl.cfg, params)
     n = num_steps if num_steps is not None else params.num_control_steps()
     key = ctrl.init_key()
 
