@@ -61,6 +61,7 @@ class BatchedMPPIController(MPPIController):
         solve = partial(
             mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,
             rollout_backend="scan", antithetic=cfg.antithetic,
+            ou_beta=cfg.noise_beta,
         )
         self._solve_batch = jax.jit(
             jax.vmap(

@@ -81,6 +81,8 @@ class MPPIConfig:
                                       # be even
     obstacles: tuple[tuple[float, ...], ...] = ()  # (x.., radius) per obstacle
     obstacle_w: float = 1000.0        # penalty for being inside an obstacle
+    noise_beta: float = 0.0           # OU noise correlation (0 = iid like the
+                                      # reference; 0<β<1 = smoother controls)
 
     def __post_init__(self) -> None:
         if self.samples < 1:
@@ -91,6 +93,10 @@ class MPPIConfig:
             raise ConfigError(f"dt must be > 0, got {self.dt}")
         if self.inv_sigma not in ("identity", "from-noise"):
             raise ConfigError(f"inv-sigma must be 'identity' or 'from-noise'")
+        if not 0.0 <= self.noise_beta < 1.0:
+            raise ConfigError(
+                f"noise-beta must be in [0, 1), got {self.noise_beta}"
+            )
         if self.antithetic and self.samples % 2 != 0:
             raise ConfigError(
                 f"antithetic sampling needs an even number of samples, got {self.samples}"
@@ -161,6 +167,7 @@ def config_from_mapping(doc: Mapping[str, Any]) -> MPPIConfig:
         inv_sigma=str(doc.get("inv-sigma", "identity")),
         seed=int(doc.get("seed", 0)),
         antithetic=bool(doc.get("antithetic", False)),
+        noise_beta=float(doc.get("noise-beta", 0.0)),
     )
 
 

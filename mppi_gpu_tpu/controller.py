@@ -60,17 +60,34 @@ def sample_noise(
     sigma: jax.Array,
     *,
     antithetic: bool = False,
+    ou_beta: float = 0.0,
 ) -> jax.Array:
     """ε ~ N(0, diag(σ²)), shape (T, K, a). Counter-based threefry: fully
     deterministic given the key — replaces the reference's stateful cuRAND
     per-thread states (src/point_mass.cu:780) with replayable keys.
 
     With `antithetic`, rollouts come in mirrored pairs (ε, −ε): same
-    marginals, lower-variance softmin update, half the PRNG work."""
+    marginals, lower-variance softmin update, half the PRNG work.
+
+    With `ou_beta` ∈ (0, 1), noise follows the stationary OU recursion
+    e_t = β e_{t−1} + √(1−β²) ν_t over the horizon: unchanged per-step
+    marginals (still N(0, σ²)) but time-correlated — smoother sampled action
+    sequences, which rewards smoother controls out of the softmin."""
+    Keff = K // 2 if antithetic else K
+    nu = jax.random.normal(key, (T, Keff, action_dim), jnp.float32)
+    if ou_beta > 0.0:
+        c = (1.0 - ou_beta**2) ** 0.5  # keeps the stationary variance at σ²
+
+        def body(prev, n):
+            e = ou_beta * prev + c * n
+            return e, e
+
+        _, tail = jax.lax.scan(body, nu[0], nu[1:])
+        nu = jnp.concatenate([nu[:1], tail], axis=0)
+    eps = sigma * nu
     if antithetic:
-        half = sigma * jax.random.normal(key, (T, K // 2, action_dim), jnp.float32)
-        return jnp.concatenate([half, -half], axis=1)
-    return sigma * jax.random.normal(key, (T, K, action_dim), jnp.float32)
+        eps = jnp.concatenate([eps, -eps], axis=1)
+    return eps
 
 
 def shift_action_seq(u_seq: jax.Array) -> jax.Array:
@@ -142,19 +159,21 @@ def mppi_solve(
     axis_name: str | None = None,
     rollout_backend: str = "scan",
     antithetic: bool = False,
+    ou_beta: float = 0.0,
 ) -> SolveResult:
     """One full MPPI solve: sample ε, roll out K trajectories over T, softmin
     update, clamp, shift. Pure and jittable; `K` is per-shard when running
     under `shard_map` with `axis_name` set."""
     T, a = U.shape
     if rollout_backend == "scan":
-        eps = sample_noise(key, T, K, a, sigma, antithetic=antithetic)
+        eps = sample_noise(key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta)
         S = rollout_costs(dyn, cost, x0, U, eps)
         return solve_from_costs(S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name)
     if rollout_backend in ("pallas", "pallas-interpret"):
         return pallas_solve(
             dyn, cost, x0, U, key, sigma, lambda_, max_a,
             K=K, clamp=clamp, axis_name=axis_name, antithetic=antithetic,
+            ou_beta=ou_beta,
             interpret=rollout_backend == "pallas-interpret",
         )
     raise ValueError(f"unknown rollout backend '{rollout_backend}'")
@@ -174,6 +193,7 @@ def pallas_solve(
     clamp: bool = True,
     axis_name: str | None = None,
     antithetic: bool = False,
+    ou_beta: float = 0.0,
     interpret: bool = False,
 ) -> SolveResult:
     """Fused-kernel MPPI solve: the (T, K, a) noise tensor never exists in
@@ -189,12 +209,13 @@ def pallas_solve(
         # phases. info's β/η/weights are re-derived lazily from S below and
         # DCE away when the caller only consumes action/u_next.
         S_pad, dU = pr.pallas_fused_solve_core(
-            dyn, cost, x0, U, key, sigma, lambda_, K=K, antithetic=antithetic
+            dyn, cost, x0, U, key, sigma, lambda_,
+            K=K, antithetic=antithetic, ou_beta=ou_beta,
         )
         sm = softmin_weights(S_pad, lambda_)
     else:
         plan = pr.make_plan(K, U.shape[0], U.shape[1], antithetic)
-        packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+        packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
         S_pad = pr.pallas_rollout_costs(
             dyn, cost, x0, U, key, sigma,
             K=K, antithetic=antithetic, interpret=interpret, packed=packed,
@@ -276,6 +297,7 @@ class MPPIController:
             clamp=cfg.clamp_action,
             rollout_backend=rollout_backend,
             antithetic=cfg.antithetic,
+            ou_beta=cfg.noise_beta,
         )
         donate = (3,) if donate_u else ()  # donate U's buffer (dyn, cost, x0, U, key,...)
         self._solve = jax.jit(solve, donate_argnums=donate)
@@ -331,6 +353,7 @@ class MPPIController:
                 eps = sample_noise(
                     key, T, self.cfg.samples, a, sigma,
                     antithetic=self.cfg.antithetic,
+                    ou_beta=self.cfg.noise_beta,
                 )
                 S, xs = rollout_trajectories(dyn, cost, x, U, eps)
                 res = solve_from_costs(

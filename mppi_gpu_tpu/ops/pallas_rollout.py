@@ -140,6 +140,21 @@ def _sample_eps(sigma, KB: int, anti: bool) -> jax.Array:
     return sigma * n
 
 
+def _next_eps(t, e_prev, sigma, scal_ref, KB: int, anti: bool):
+    """One step of the unit-variance OU noise process (β=0 ⇒ iid):
+    e_t = β e_{t−1} + √(1−β²) ν_t, primed with e_0 = ν_0. Returns
+    (ε_t = σ·e_t, e_t). The recursion is deterministic given the PRNG
+    stream, so kernels A and B replay identical correlated noise."""
+    if anti:
+        n = _standard_normal((SUB, KB // 2))
+        n = jnp.concatenate([n, -n], axis=1)
+    else:
+        n = _standard_normal((SUB, KB))
+    beta, c = scal_ref[0, 3], scal_ref[0, 4]
+    e = jnp.where(t == 0, n, beta * e_prev + c * n)
+    return sigma * e, e
+
+
 def _onehot_lanes(t: jax.Array, n: int) -> jax.Array:
     """(1, n) f32 one-hot of lane index t (2D iota — 1D iota is illegal on TPU)."""
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -159,7 +174,7 @@ _P_WQ, _P_WQD, _P_GQ, _P_GQD, _P_SIGMA, _P_INVS, _P_X0Q, _P_X0QD = range(8)
 
 def _rollout_cost_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
-    scal_ref,   # SMEM (1, 3) f32:  [dt, cost λ, softmin λ]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad): nominal U — group-tiled rows, transposed
     p_ref,      # VMEM (SUB, 8): parameter pack (see _P_* columns)
     s_ref,      # out VMEM (G, KB): per-rollout total cost, rows = groups
@@ -179,8 +194,8 @@ def _rollout_cost_kernel(
     qd0 = jnp.broadcast_to(p_ref[:, _P_X0QD:_P_X0QD + 1], (SUB, KB))
 
     def body(t, carry):
-        q, qd, acc = carry
-        eps = _sample_eps(sigma, KB, plan.anti)
+        q, qd, acc, e_prev = carry
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
         u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
         u_b = jnp.broadcast_to(u_t, (SUB, KB))
         u_eff = u_b + eps
@@ -191,10 +206,10 @@ def _rollout_cost_kernel(
         # accumulated ELEMENTWISE — per-group reduction deferred to kernel end
         dq, dqd = q - gq, qd - gqd
         acc = acc + (lam_invs * u_b) * eps + wq * dq * dq + wqd * dqd * dqd
-        return q, qd, acc
+        return q, qd, acc, e_prev
 
     zero = jnp.zeros((SUB, KB), jnp.float32)
-    q, qd, acc = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero))
+    q, qd, acc, _ = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero, zero))
     # terminal cost re-counts the final state (reference parity: the last step
     # cost already included x_T, and final_cost adds it again — src/cost.cu:57-64)
     dq, dqd = q - gq, qd - gqd
@@ -215,7 +230,7 @@ def _rollout_cost_kernel(
 
 def _weighted_update_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
-    scal_ref,   # SMEM (1, 3) f32:  [dt, cost λ, softmin λ]  (unused; same signature)
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad)
     p_ref,      # VMEM (SUB, 8)
     w_ref,      # VMEM (G, KB): softmin weights for this tile, rows = groups
@@ -238,17 +253,21 @@ def _weighted_update_kernel(
     def _():
         du_ref[:, :] = jnp.zeros_like(du_ref)
 
-    def body(t, acc):
-        eps = _sample_eps(sigma, KB, plan.anti)
+    def body(t, carry):
+        acc, e_prev = carry
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
         col = jnp.sum(w_exp * eps, axis=1, keepdims=True)  # (SUB, 1)
         # fold groups: dU_t[i] = Σ_g col[g*A + i]
         fold = col[0:A]
         for g in range(1, G):
             fold = fold + col[g * A:(g + 1) * A]
         fold = jnp.concatenate([fold, jnp.zeros((SUB - A, 1), jnp.float32)], axis=0)
-        return acc + fold * _onehot_lanes(t, Tpad)          # scatter into column t
+        return acc + fold * _onehot_lanes(t, Tpad), e_prev  # scatter into column t
 
-    acc = jax.lax.fori_loop(0, plan.T, body, jnp.zeros((SUB, Tpad), jnp.float32))
+    acc, _ = jax.lax.fori_loop(
+        0, plan.T, body,
+        (jnp.zeros((SUB, Tpad), jnp.float32), jnp.zeros((SUB, KB), jnp.float32)),
+    )
     du_ref[:, :] += acc
 
 
@@ -261,6 +280,7 @@ def pack_inputs(
     sigma: jax.Array,
     plan: PallasPlan,
     softmin_lambda: jax.Array | None = None,
+    ou_beta: float = 0.0,
 ):
     """Host-side (traced) packing of the tiny per-solve inputs, shared by both
     kernels — call once per solve. All per-dim
@@ -270,13 +290,16 @@ def pack_inputs(
     seeds = jax.lax.bitcast_convert_type(kd[:2], jnp.int32)
     ints = jnp.concatenate([seeds, jnp.array([plan.K, T], jnp.int32)]).reshape(1, 4)
     lam_sm = cost.lambda_ if softmin_lambda is None else softmin_lambda
+    ou_c = (1.0 - float(ou_beta) ** 2) ** 0.5
     scal = jnp.stack(
         [
             dyn.dt.astype(jnp.float32),
             cost.lambda_.astype(jnp.float32),   # control-cost λ
             jnp.asarray(lam_sm, jnp.float32),   # softmin temperature (fused kernel)
+            jnp.float32(ou_beta),               # OU noise correlation β
+            jnp.float32(ou_c),                  # √(1−β²)
         ]
-    ).reshape(1, 3)
+    ).reshape(1, 5)
 
     u_rows = jnp.tile(U.T.astype(jnp.float32), (G, 1))  # (G*A, T)
     u_tile = jnp.zeros((SUB, Tpad), jnp.float32).at[: G * A, :T].set(u_rows)
@@ -398,7 +421,7 @@ def check_supported(dyn, cost) -> None:
 
 def _fused_solve_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
-    scal_ref,   # SMEM (1, 3) f32:  [dt, cost λ, softmin λ]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad)
     p_ref,      # VMEM (SUB, 8)
     s_ref,      # out VMEM (G, KB) blocks: per-rollout costs
@@ -440,8 +463,8 @@ def _fused_solve_kernel(
         qd0 = jnp.broadcast_to(p_ref[:, _P_X0QD:_P_X0QD + 1], (SUB, KB))
 
         def body(t, carry):
-            q, qd, acc = carry
-            eps = _sample_eps(sigma, KB, plan.anti)
+            q, qd, acc, e_prev = carry
+            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
             u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
             u_b = jnp.broadcast_to(u_t, (SUB, KB))
             u_eff = u_b + eps
@@ -449,10 +472,10 @@ def _fused_solve_kernel(
             qd = qd + dt * u_eff
             dq, dqd = q - gq, qd - gqd
             acc = acc + (lam_invs * u_b) * eps + wq * dq * dq + wqd * dqd * dqd
-            return q, qd, acc
+            return q, qd, acc, e_prev
 
         zero = jnp.zeros((SUB, KB), jnp.float32)
-        q, qd, acc = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero))
+        q, qd, acc, _ = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero, zero))
         dq, dqd = q - gq, qd - gqd
         acc = acc + wq * dq * dq + wqd * dqd * dqd
         S = jnp.concatenate(
@@ -503,8 +526,9 @@ def _fused_solve_kernel(
             axis=0,
         )
 
-        def body(t, acc):
-            eps = _sample_eps(sigma, KB, plan.anti)
+        def body(t, carry):
+            acc, e_prev = carry
+            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
             col = jnp.sum(w_exp * eps, axis=1, keepdims=True)
             fold = col[0:A]
             for g in range(1, G):
@@ -512,9 +536,12 @@ def _fused_solve_kernel(
             fold = jnp.concatenate(
                 [fold, jnp.zeros((SUB - A, 1), jnp.float32)], axis=0
             )
-            return acc + fold * _onehot_lanes(t, Tpad)
+            return acc + fold * _onehot_lanes(t, Tpad), e_prev
 
-        acc = jax.lax.fori_loop(0, plan.T, body, jnp.zeros((SUB, Tpad), jnp.float32))
+        acc, _ = jax.lax.fori_loop(
+            0, plan.T, body,
+            (jnp.zeros((SUB, Tpad), jnp.float32), jnp.zeros((SUB, KB), jnp.float32)),
+        )
         acc_scr[:, :] += acc
 
         @pl.when(i == 2 * nk)
@@ -533,13 +560,14 @@ def pallas_fused_solve_core(
     *,
     K: int,
     antithetic: bool = False,
+    ou_beta: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
     no XLA ops or dispatch between the rollout, softmin, and update phases.
     λ is read from the packed scalars (cost.lambda_). Single-chip path only."""
     plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
     ints, scal, u_tile, p = pack_inputs(
-        dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_
+        dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
     )
     nk = plan.grid
     S, dU = pl.pallas_call(

@@ -53,6 +53,7 @@ def sharded_mppi_solve(
     axis_name: str = ROLLOUT_AXIS,
     rollout_backend: str = "scan",
     antithetic: bool = False,
+    ou_beta: float = 0.0,
 ) -> SolveResult:
     """One MPPI solve with K rollouts sharded over `mesh`'s `axis_name` axis.
 
@@ -73,6 +74,7 @@ def sharded_mppi_solve(
             dyn, cost, x0, U, local_key, sigma, lambda_, max_a,
             K=k_loc, clamp=clamp, axis_name=axis_name,
             rollout_backend=rollout_backend, antithetic=antithetic,
+            ou_beta=ou_beta,
         )
 
     out_specs = SolveResult(
@@ -127,5 +129,6 @@ class ShardedMPPIController(MPPIController):
             clamp=cfg.clamp_action,
             rollout_backend=self.rollout_backend,
             antithetic=cfg.antithetic,
+            ou_beta=cfg.noise_beta,
         )
         self._solve = jax.jit(solve)

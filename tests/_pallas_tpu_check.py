@@ -104,6 +104,26 @@ for k, k_mirror in ((0, half), (3, 3 + half)):
     S_ref = float(rollout_costs(dyn, cost, x0, U, e1[:, None, :])[0])
     assert abs(float(S_a[k]) - S_ref) < 1e-4 * max(1.0, abs(S_ref))
 
+# --- OU (time-correlated) noise: kernel A/B consistency via one-hot weight,
+# and the regenerated per-rollout noise must show lag-1 autocorrelation ≈ β
+import numpy as _np
+
+OU = 0.6
+S_ou = pr.pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K,
+                               packed=pr.pack_inputs(dyn, cost, x0, U, key, sigma,
+                                                     pr.make_plan(K, T, A), ou_beta=OU))
+plan_ou = pr.make_plan(K, T, A)
+w_oh = jnp.zeros((plan_ou.Kpad,), jnp.float32).at[2].set(1.0)
+eps2 = pr.pallas_weighted_update(
+    dyn, cost, x0, U, key, sigma, w_oh, K=K,
+    packed=pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan_ou, ou_beta=OU),
+)
+S_ref = float(rollout_costs(dyn, cost, x0, U, eps2[:, None, :])[0])
+assert abs(float(S_ou[2]) - S_ref) < 1e-4 * max(1.0, abs(S_ref)), "OU kernel mismatch"
+e = _np.asarray(eps2)
+r = _np.corrcoef(e[:-1].ravel(), e[1:].ravel())[0, 1]
+assert abs(r - OU) < 0.25, f"OU autocorrelation {r} != {OU}"
+
 # --- fused single-kernel solve must equal the two-kernel path exactly
 for anti in (False, True):
     S2 = pr.pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K, antithetic=anti)
