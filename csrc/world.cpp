@@ -144,4 +144,96 @@ void mppi_world_rollout(World* w, const float* u_seq, int n, float* traj) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// Pendulum world (second model family): same ODE as the JAX world in
+// mppi_gpu_tpu/envs/pendulum_world.py — theta measured from upright,
+//   thdd = (g/l)*sin(th) + u/(m*l^2) - b*thd,  u clamped to +-max_torque —
+// RK4 at `timestep`.
+
+struct Pendulum {
+  float mass, length, gravity, damping, max_torque;
+  float timestep, control_period, sim_end, init_theta;
+  float th, thd, time;
+  int steps_per_control;
+};
+
+static inline float pend_accel(const Pendulum* p, float th, float thd, float u) {
+  return (p->gravity / p->length) * std::sin(th) +
+         u / (p->mass * p->length * p->length) - p->damping * thd;
+}
+
+static void pend_physics_step(Pendulum* p, float u_in) {
+  const float h = p->timestep;
+  const float u = clampf(u_in, -p->max_torque, p->max_torque);
+  const float th = p->th, thd = p->thd;
+  const float k1t = thd, k1v = pend_accel(p, th, thd, u);
+  const float k2t = thd + 0.5f * h * k1v,
+              k2v = pend_accel(p, th + 0.5f * h * k1t, thd + 0.5f * h * k1v, u);
+  const float k3t = thd + 0.5f * h * k2v,
+              k3v = pend_accel(p, th + 0.5f * h * k2t, thd + 0.5f * h * k2v, u);
+  const float k4t = thd + h * k3v,
+              k4v = pend_accel(p, th + h * k3t, thd + h * k3v, u);
+  p->th += (h / 6.0f) * (k1t + 2.0f * k2t + 2.0f * k3t + k4t);
+  p->thd += (h / 6.0f) * (k1v + 2.0f * k2v + 2.0f * k3v + k4v);
+  p->time += h;
+}
+
+extern "C" {
+
+Pendulum* mppi_pendulum_create(float mass, float length, float gravity,
+                               float damping, float max_torque, float timestep,
+                               float control_period, float sim_end,
+                               float init_theta) {
+  Pendulum* p = static_cast<Pendulum*>(std::calloc(1, sizeof(Pendulum)));
+  if (!p) return nullptr;
+  p->mass = mass;
+  p->length = length;
+  p->gravity = gravity;
+  p->damping = damping;
+  p->max_torque = max_torque;
+  p->timestep = timestep;
+  p->control_period = control_period;
+  p->sim_end = sim_end;
+  p->init_theta = init_theta;
+  p->steps_per_control =
+      static_cast<int>(std::ceil(control_period / timestep - 1e-9));
+  p->th = init_theta;
+  p->thd = 0.0f;
+  p->time = timestep;
+  return p;
+}
+
+void mppi_pendulum_destroy(Pendulum* p) { std::free(p); }
+
+void mppi_pendulum_reset(Pendulum* p) {
+  p->th = p->init_theta;
+  p->thd = 0.0f;
+  p->time = p->timestep;
+}
+
+int mppi_pendulum_simulate(Pendulum* p, const float* u) {
+  if (p->time >= p->sim_end) return 1;
+  for (int s = 0; s < p->steps_per_control; ++s) pend_physics_step(p, u[0]);
+  return 0;
+}
+
+void mppi_pendulum_step(Pendulum* p, const float* u) {
+  pend_physics_step(p, u[0]);
+}
+
+void mppi_pendulum_get_x(Pendulum* p, float* x) {
+  x[0] = p->th;
+  x[1] = p->thd;
+}
+
+float mppi_pendulum_time(Pendulum* p) { return p->time; }
+
+void mppi_pendulum_set_state(Pendulum* p, const float* x, float time) {
+  p->th = x[0];
+  p->thd = x[1];
+  p->time = time;
+}
+
+}  // extern "C" (pendulum fns)
+
 }  // extern "C"

@@ -47,10 +47,9 @@ class EpisodeResult:
 def _make_world(cfg, params, backend: str) -> Any:
     if backend == "native":
         if is_pendulum_env(cfg.env):
-            raise ValueError(
-                "the native C++ world implements the point-mass family only; "
-                "use --world jax for pendulum envs"
-            )
+            from mppi_gpu_tpu.envs.native import NativePendulumWorld
+
+            return NativePendulumWorld(params)
         from mppi_gpu_tpu.envs.native import NativePointMassWorld
 
         return NativePointMassWorld(params)

@@ -72,10 +72,39 @@ def test_world_matches_model_open_loop():
     np.testing.assert_allclose(np.asarray(x), np.asarray(ws.x), atol=0.05)
 
 
-def test_native_backend_rejected():
+def test_native_matches_jax_world():
+    """The C++ and JAX pendulum worlds implement identical physics; open-loop
+    trajectories must agree to float32 tolerance."""
+    from mppi_gpu_tpu.envs.native import NativePendulumWorld, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
     cfg = load_config(CFG)
-    with pytest.raises(ValueError, match="point-mass family only"):
-        run_closed_loop(MPPIController(cfg), world_backend="native", max_steps=1)
+    params = params_for_config(cfg)
+    njax = make_jax_world(cfg, params)
+    nat = NativePendulumWorld(params)
+    ws = njax.reset()
+    sim = jax.jit(njax.simulate)
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        u = rng.uniform(-2, 2, size=(1,)).astype(np.float32)
+        ws, _ = sim(ws, jnp.asarray(u))
+        nat.simulate(u)
+        np.testing.assert_allclose(
+            np.asarray(ws.x), nat.get_x(), rtol=1e-4, atol=1e-5,
+            err_msg=f"diverged at cycle {i}",
+        )
+
+
+def test_native_closed_loop_runs():
+    from mppi_gpu_tpu.envs.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    cfg = load_config(CFG).replace(samples=128, horizon=20)
+    res = run_closed_loop(MPPIController(cfg), world_backend="native", max_steps=10)
+    assert len(res.us) == 10
+    assert np.all(np.isfinite(res.xs))
 
 
 def test_swing_up():
