@@ -28,7 +28,6 @@ import jax.numpy as jnp
 
 from mppi_gpu_tpu.config import MPPIConfig
 from mppi_gpu_tpu.models.base import Dynamics
-from mppi_gpu_tpu.models.point_mass import PointMassLTI
 from mppi_gpu_tpu.ops.cost import Cost, make_cost
 from mppi_gpu_tpu.ops.rollout import rollout_costs
 from mppi_gpu_tpu.ops.softmin import softmin_weights

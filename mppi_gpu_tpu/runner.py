@@ -27,7 +27,7 @@ import numpy as np
 from mppi_gpu_tpu.controller import MPPIController
 from mppi_gpu_tpu.envs import is_pendulum_env, make_jax_world, params_for_config
 from mppi_gpu_tpu.envs.params import WorldParams
-from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld, WorldState
+from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld
 from mppi_gpu_tpu.io.csvio import write_step_dump_csv, write_traj_csv
 from mppi_gpu_tpu.utils.timing import SolveTimer
 
