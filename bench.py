@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import jax
@@ -98,7 +99,7 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
     }
 
 
-def main() -> int:
+def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=10_000)
     p.add_argument("--t", type=int, default=200)
@@ -107,7 +108,23 @@ def main() -> int:
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--extra", action="store_true", help="also bench K=1e5")
     p.add_argument("--antithetic", action="store_true", help="mirrored noise pairs")
-    args = p.parse_args()
+    p.add_argument(
+        "--inner", action="store_true",
+        help="run the measurement in THIS process (no watchdog). By default the "
+        "benchmark re-execs itself under a timeout and retries in a fresh "
+        "process on a hang: the TPU runtime occasionally wedges a program's "
+        "first execution (observed through tunneled devices), and a fresh "
+        "process reliably clears it.",
+    )
+    p.add_argument("--attempts", type=int, default=3)
+    p.add_argument("--attempt-timeout", type=float, default=420.0, help="seconds")
+    return p
+
+
+def main() -> int:
+    args = _build_parser().parse_args()
+    if not args.inner:
+        return _supervise(args)
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} ({dev})", file=sys.stderr)
@@ -141,6 +158,47 @@ def main() -> int:
         )
     )
     return 0
+
+
+def _supervise(args) -> int:
+    """Watchdog wrapper: run the measurement as a child process with a
+    timeout, retrying in a fresh process on hang/crash (tunnel-wedge
+    mitigation — see --inner help)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--inner"]
+    for flag in ("k", "t", "iters", "warmup"):
+        cmd += [f"--{flag}", str(getattr(args, flag))]
+    cmd += ["--backend", args.backend]
+    if args.extra:
+        cmd.append("--extra")
+    if args.antithetic:
+        cmd.append("--antithetic")
+
+    for attempt in range(1, args.attempts + 1):
+        try:
+            out = subprocess.run(
+                cmd, timeout=args.attempt_timeout, capture_output=True, text=True
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench attempt {attempt}/{args.attempts} timed out after "
+                f"{args.attempt_timeout:.0f}s (wedged runtime?); retrying in a "
+                "fresh process",
+                file=sys.stderr,
+            )
+            continue
+        sys.stderr.write(out.stderr)
+        if out.returncode == 0 and '"metric"' in out.stdout:
+            sys.stdout.write(out.stdout)
+            return 0
+        print(
+            f"bench attempt {attempt}/{args.attempts} failed "
+            f"(rc={out.returncode}); retrying",
+            file=sys.stderr,
+        )
+    print("all bench attempts failed", file=sys.stderr)
+    return 1
 
 
 if __name__ == "__main__":
