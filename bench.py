@@ -104,7 +104,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--k", type=int, default=10_000)
     p.add_argument("--t", type=int, default=200)
     p.add_argument("--backend", default="auto", choices=("auto", "scan", "pallas"))
-    p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--iters", type=int, default=60)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--extra", action="store_true", help="also bench K=1e5")
     p.add_argument("--antithetic", action="store_true", help="mirrored noise pairs")

@@ -213,18 +213,18 @@ def pallas_solve(
         )
         sm = softmin_weights(S_pad, lambda_)
     else:
-        plan = pr.make_plan(K, U.shape[0], U.shape[1], antithetic)
+        plan = pr.make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
         packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
         S_pad = pr.pallas_rollout_costs(
-            dyn, cost, x0, U, key, sigma,
-            K=K, antithetic=antithetic, interpret=interpret, packed=packed,
+            dyn, cost, x0, U, key, sigma, K=K, antithetic=antithetic,
+            ou_beta=ou_beta, interpret=interpret, packed=packed,
         )
         # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to
         # exactly 0, so they drop out of η and ΔU without any masking here.
         sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
         dU = pr.pallas_weighted_update(
-            dyn, cost, x0, U, key, sigma, sm.weights,
-            K=K, antithetic=antithetic, interpret=interpret, packed=packed,
+            dyn, cost, x0, U, key, sigma, sm.weights, K=K, antithetic=antithetic,
+            ou_beta=ou_beta, interpret=interpret, packed=packed,
         )
         if axis_name is not None:
             dU = jax.lax.psum(dU, axis_name)

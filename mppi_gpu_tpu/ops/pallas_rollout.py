@@ -89,6 +89,7 @@ class PallasPlan(NamedTuple):
     T: int
     Tpad: int
     anti: bool = False   # antithetic: lanes [KB/2, KB) mirror lanes [0, KB/2)
+    ou: bool = False     # OU noise recursion enabled (static: β=0 compiles it out)
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -99,7 +100,9 @@ class PallasPlan(NamedTuple):
         return self.Kpg // self.KB
 
 
-def make_plan(K: int, T: int, action_dim: int, antithetic: bool = False) -> PallasPlan:
+def make_plan(
+    K: int, T: int, action_dim: int, antithetic: bool = False, ou_beta: float = 0.0
+) -> PallasPlan:
     if not 1 <= action_dim <= SUB:
         raise ValueError(f"pallas backend supports 1<=action_dim<={SUB}, got {action_dim}")
     G = SUB // action_dim
@@ -107,7 +110,7 @@ def make_plan(K: int, T: int, action_dim: int, antithetic: bool = False) -> Pall
     Kpg = _round_up(_round_up(K, G) // G, KB)
     return PallasPlan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
-        Tpad=_round_up(T, LANE), anti=antithetic,
+        Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
     )
 
 
@@ -140,16 +143,19 @@ def _sample_eps(sigma, KB: int, anti: bool) -> jax.Array:
     return sigma * n
 
 
-def _next_eps(t, e_prev, sigma, scal_ref, KB: int, anti: bool):
-    """One step of the unit-variance OU noise process (β=0 ⇒ iid):
+def _next_eps(t, e_prev, sigma, scal_ref, KB: int, anti: bool, ou: bool):
+    """One step of the unit-variance OU noise process:
     e_t = β e_{t−1} + √(1−β²) ν_t, primed with e_0 = ν_0. Returns
     (ε_t = σ·e_t, e_t). The recursion is deterministic given the PRNG
-    stream, so kernels A and B replay identical correlated noise."""
+    stream, so kernels A and B replay identical correlated noise. `ou` is
+    STATIC: the iid (β=0) kernels carry no recursion ops at all."""
     if anti:
         n = _standard_normal((SUB, KB // 2))
         n = jnp.concatenate([n, -n], axis=1)
     else:
         n = _standard_normal((SUB, KB))
+    if not ou:
+        return sigma * n, e_prev
     beta, c = scal_ref[0, 3], scal_ref[0, 4]
     e = jnp.where(t == 0, n, beta * e_prev + c * n)
     return sigma * e, e
@@ -195,7 +201,7 @@ def _rollout_cost_kernel(
 
     def body(t, carry):
         q, qd, acc, e_prev = carry
-        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
         u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
         u_b = jnp.broadcast_to(u_t, (SUB, KB))
         u_eff = u_b + eps
@@ -255,7 +261,7 @@ def _weighted_update_kernel(
 
     def body(t, carry):
         acc, e_prev = carry
-        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
         col = jnp.sum(w_exp * eps, axis=1, keepdims=True)  # (SUB, 1)
         # fold groups: dU_t[i] = Σ_g col[g*A + i]
         fold = col[0:A]
@@ -333,6 +339,7 @@ def pallas_rollout_costs(
     *,
     K: int,
     antithetic: bool = False,
+    ou_beta: float = 0.0,
     interpret: bool = False,
     packed=None,
 ) -> jax.Array:
@@ -341,10 +348,10 @@ def pallas_rollout_costs(
     deterministically with :func:`pallas_weighted_update` (same key).
     Pass `packed` (from :func:`pack_inputs`) to share packing across both
     kernels of one solve."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
     ints, scal, u_tile, p = (
         packed if packed is not None
-        else pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+        else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     )
     S = pl.pallas_call(
         functools.partial(_rollout_cost_kernel, plan=plan),
@@ -374,6 +381,7 @@ def pallas_weighted_update(
     *,
     K: int,
     antithetic: bool = False,
+    ou_beta: float = 0.0,
     interpret: bool = False,
     packed=None,
 ) -> jax.Array:
@@ -381,10 +389,10 @@ def pallas_weighted_update(
     This is the reference's `update_act` T-loop of reduction ladders
     (src/point_mass.cu:384-480) as one single-launch kernel with zero HBM
     traffic for ε."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
     ints, scal, u_tile, p = (
         packed if packed is not None
-        else pack_inputs(dyn, cost, x0, U, key, sigma, plan)
+        else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     )
     dU = pl.pallas_call(
         functools.partial(_weighted_update_kernel, plan=plan),
@@ -464,7 +472,7 @@ def _fused_solve_kernel(
 
         def body(t, carry):
             q, qd, acc, e_prev = carry
-            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
+            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
             u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
             u_b = jnp.broadcast_to(u_t, (SUB, KB))
             u_eff = u_b + eps
@@ -528,7 +536,7 @@ def _fused_solve_kernel(
 
         def body(t, carry):
             acc, e_prev = carry
-            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti)
+            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
             col = jnp.sum(w_exp * eps, axis=1, keepdims=True)
             fold = col[0:A]
             for g in range(1, G):
@@ -565,7 +573,7 @@ def pallas_fused_solve_core(
     """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
     no XLA ops or dispatch between the rollout, softmin, and update phases.
     λ is read from the packed scalars (cost.lambda_). Single-chip path only."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic)
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
     ints, scal, u_tile, p = pack_inputs(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
     )

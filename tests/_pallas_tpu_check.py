@@ -109,14 +109,11 @@ for k, k_mirror in ((0, half), (3, 3 + half)):
 import numpy as _np
 
 OU = 0.6
-S_ou = pr.pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K,
-                               packed=pr.pack_inputs(dyn, cost, x0, U, key, sigma,
-                                                     pr.make_plan(K, T, A), ou_beta=OU))
-plan_ou = pr.make_plan(K, T, A)
+S_ou = pr.pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K, ou_beta=OU)
+plan_ou = pr.make_plan(K, T, A, ou_beta=OU)
 w_oh = jnp.zeros((plan_ou.Kpad,), jnp.float32).at[2].set(1.0)
 eps2 = pr.pallas_weighted_update(
-    dyn, cost, x0, U, key, sigma, w_oh, K=K,
-    packed=pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan_ou, ou_beta=OU),
+    dyn, cost, x0, U, key, sigma, w_oh, K=K, ou_beta=OU,
 )
 S_ref = float(rollout_costs(dyn, cost, x0, U, eps2[:, None, :])[0])
 assert abs(float(S_ou[2]) - S_ref) < 1e-4 * max(1.0, abs(S_ref)), "OU kernel mismatch"
@@ -161,5 +158,23 @@ for (Ae, Ke, Te) in ((1, 1, 1), (2, 3, 5), (3, 255, 2), (3, 257, 1), (5, 100, 4)
         S_ref = float(rollout_costs(dyn_e, cost_e, x0_e, U_e, eps_k[:, None, :])[0])
         rel = abs(float(S_e[k]) - S_ref) / max(1.0, abs(S_ref))
         assert rel < 1e-4, f"A={Ae} K={Ke} T={Te} k={k}: rel={rel}"
+
+# --- sharded solve with the pallas backend (two-kernel path + pmin/psum
+# collectives) on a 1-device mesh: action must agree with the single-chip
+# fused solve for the same key (identical noise stream, same reductions)
+from mppi_gpu_tpu.config import MPPIConfig as _Cfg
+from mppi_gpu_tpu.parallel import ShardedMPPIController
+
+_cfg = _Cfg(
+    env="point_mass3d", samples=512, state_dim=6, action_dim=3, horizon=16,
+    dt=0.1, lambda_=1.0, noise=(0.25,) * 3, init_act=(0.0,) * 3,
+    max_a=(1.0,) * 3, goal=(1.0, 0.5, 0.75, 0.0, 0.0, 0.0),
+    cost_type="quadratic", cost_w=(1.0, 1.0, 1.0, 5.0, 5.0, 5.0),
+)
+_sc = ShardedMPPIController(_cfg, mesh=jax.make_mesh((1,), ("k",)))
+assert _sc.rollout_backend == "pallas", _sc.rollout_backend
+_res = _sc.solve(x0, _sc.init_action_seq(), _sc.init_key())
+assert jnp.all(jnp.isfinite(_res.action))
+assert abs(float(jnp.sum(_res.info.weights)) - 1.0) < 1e-3
 
 print("PALLAS_TPU_OK")
