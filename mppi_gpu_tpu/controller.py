@@ -343,7 +343,12 @@ class MPPIController:
         trajectories — the data the reference's per-step debug dump exports
         for offline verification (src/point_mass.cu:236-262 `get_inf` +
         src/main.cu:90-156 `to_csv2`). Compiled separately so the hot path
-        never pays for the (T+1, K, s) state history."""
+        never pays for the (T+1, K, s) state history.
+
+        Always samples via the scan/threefry path: given the same key this
+        reproduces a scan-backend solve exactly, but for the pallas backend
+        (on-chip PRNG) it is a different — equivalent-in-distribution —
+        noise stream than the executed solve."""
         if not hasattr(self, "_solve_debug"):
             from mppi_gpu_tpu.ops.rollout import rollout_trajectories
 

@@ -127,11 +127,13 @@ def load_world_xml(path: str | os.PathLike) -> XMLWorld:
     params = WorldParams(
         n_axes=len(joints),
         mass=mass,
-        armature=armature or 0.0,
-        damping=damping or 0.0,
-        gear=gear or 1.0,
-        ctrl_range=ctrl_range or 1.0,
-        joint_range=joint_range or math.inf,
+        armature=armature if armature is not None else 0.0,
+        damping=damping if damping is not None else 0.0,
+        # explicit None checks: gear="0" / ctrlrange="0 0" are legitimate XML
+        # values that must be honored, not silently replaced by defaults
+        gear=gear if gear is not None else 1.0,
+        ctrl_range=ctrl_range if ctrl_range is not None else 1.0,
+        joint_range=joint_range if joint_range is not None else math.inf,
         timestep=timestep,
     )
 

@@ -47,7 +47,7 @@ def save_checkpoint(
 ) -> None:
     tmp = f"{path}.tmp"
     np.savez(
-        tmp if str(tmp).endswith(".npz") else tmp,
+        tmp,
         step=np.int64(step),
         U=np.asarray(U, np.float32),
         key_data=np.asarray(jax.random.key_data(key)),
@@ -63,13 +63,13 @@ def save_checkpoint(
 def load_checkpoint(path: str | os.PathLike) -> Checkpoint:
     with np.load(path, allow_pickle=False) as z:
         cfg_raw = json.loads(bytes(z["cfg_json"]).decode())
-        # json round-trips tuples as lists; MPPIConfig stores tuples
-        cfg = MPPIConfig(
-            **{
-                k: tuple(v) if isinstance(v, list) else v
-                for k, v in cfg_raw.items()
-            }
-        )
+
+        def detuple(v):
+            # json round-trips tuples as lists, recursively (e.g. the nested
+            # obstacles tuples); MPPIConfig must stay fully hashable
+            return tuple(detuple(x) for x in v) if isinstance(v, list) else v
+
+        cfg = MPPIConfig(**{k: detuple(v) for k, v in cfg_raw.items()})
         return Checkpoint(
             step=int(z["step"]),
             U=z["U"],

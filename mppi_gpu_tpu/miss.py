@@ -51,19 +51,29 @@ def run_mismatch(
     us = rng.standard_normal((n_steps, n_axes)).astype(np.float32)
     params = WorldParams(n_axes=n_axes)
 
-    # (a) ground-truth world, one control cycle per input
+    # (a) ground-truth world, one control cycle per input. Drive raw physics
+    # steps, NOT simulate(): the episode clock would freeze the world after
+    # sim_end (10 s) and long excitation runs would compare the model against
+    # a frozen plant.
+    spc = params.steps_per_control
     if world_backend == "native":
         from mppi_gpu_tpu.envs.native import NativePointMassWorld
 
         world = NativePointMassWorld(params)
-        traj_world = world.rollout(us)
+        traj_world = np.empty((n_steps + 1, 2 * n_axes), np.float32)
+        traj_world[0] = world.get_x()
+        for t in range(n_steps):
+            for _ in range(spc):
+                world.step(us[t])
+            traj_world[t + 1] = world.get_x()
     else:
         world = PointMassWorld(params)
 
         @jax.jit
         def world_rollout(us):
             def body(ws, u):
-                ws, _ = world.simulate(ws, u)
+                for _ in range(spc):  # static count: unrolled
+                    ws = world.physics_step(ws, u)
                 return ws, ws.x
 
             ws0 = world.reset()

@@ -73,7 +73,10 @@ def _pick_kb(K_lanes: int, antithetic: bool) -> int:
     512 with antithetic mirroring on top. 2048 measured fastest on v5e at
     K=10⁵; tunable via MPPI_PALLAS_KB."""
     gran = 512 if antithetic else 256
-    kb = max(gran, int(os.environ.get("MPPI_PALLAS_KB", "2048")))
+    # round any override UP to the required granularity: an unaligned KB
+    # would falsify the kernels' pl.multiple_of(i*KB, 128) alignment claims
+    # and silently corrupt the fused kernel's scratch slicing
+    kb = _round_up(max(gran, int(os.environ.get("MPPI_PALLAS_KB", "2048"))), gran)
     if K_lanes <= kb:
         return max(gran, _round_up(K_lanes, gran))
     return kb
@@ -105,6 +108,8 @@ def make_plan(
 ) -> PallasPlan:
     if not 1 <= action_dim <= SUB:
         raise ValueError(f"pallas backend supports 1<=action_dim<={SUB}, got {action_dim}")
+    if antithetic and K % 2 != 0:
+        raise ValueError(f"antithetic sampling needs even K, got {K}")
     G = SUB // action_dim
     KB = _pick_kb(_round_up(K, G) // G, antithetic)
     Kpg = _round_up(_round_up(K, G) // G, KB)
@@ -167,6 +172,35 @@ def _onehot_lanes(t: jax.Array, n: int) -> jax.Array:
     return (lanes == t).astype(jnp.float32)
 
 
+def _lane_rank(plan: PallasPlan, i, shape=None):
+    """(G, KB) global rollout RANK of each lane in grid step i. Plain lane
+    order normally; with antithetic, mirror pairs (m, m+KB/2) get adjacent
+    ranks (2m, 2m+1) so the K-padding mask can never split an (ε, −ε) pair
+    (K is even by construction)."""
+    G, KB = plan.G, plan.KB
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, KB), 1)
+    if plan.anti:
+        half = KB // 2
+        m = jnp.where(lane < half, lane, lane - half)
+        lane = 2 * m + (lane >= half).astype(jnp.int32)
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (G, KB), 0) * plan.Kpg
+        + i * KB
+        + lane
+    )
+
+
+def anti_rank_perm(plan: PallasPlan) -> jax.Array:
+    """(Kpad,) gather indices: rank-ordered vector = lane_flat[perm]. Only
+    meaningful when plan.anti (identity otherwise)."""
+    KB, half = plan.KB, plan.KB // 2
+    r = jnp.arange(plan.Kpad)
+    block, within = (r // KB) * KB, r % KB
+    m = within // 2
+    lane = jnp.where(within % 2 == 0, m, m + half)
+    return block + lane
+
+
 def _seed(ints_ref, i):
     # fold the grid position into seed word 0 (golden-ratio odd constant);
     # kernels A and B MUST seed identically to replay the same ε stream.
@@ -178,17 +212,13 @@ def _seed(ints_ref, i):
 _P_WQ, _P_WQD, _P_GQ, _P_GQD, _P_SIGMA, _P_INVS, _P_X0Q, _P_X0QD = range(8)
 
 
-def _rollout_cost_kernel(
-    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
-    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
-    u_ref,      # VMEM (SUB, Tpad): nominal U — group-tiled rows, transposed
-    p_ref,      # VMEM (SUB, 8): parameter pack (see _P_* columns)
-    s_ref,      # out VMEM (G, KB): per-rollout total cost, rows = groups
-    *, plan: PallasPlan,
-):
-    i = pl.program_id(0)
-    _seed(ints_ref, i)
+def _rollout_phase_S(tile_i, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan):
+    """Seed tile `tile_i`'s PRNG stream, roll out its G·KB rollouts over T,
+    and return the K-masked (G, KB) cost tile. The SINGLE implementation of
+    the rollout-cost phase, shared by kernel A and the fused kernel — the
+    two execution modes must stay bit-identical."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
+    _seed(ints_ref, tile_i)
     dt, lam = scal_ref[0, 0], scal_ref[0, 1]
     hdt2 = 0.5 * dt * dt
     u_all = u_ref[:, :]
@@ -209,7 +239,7 @@ def _rollout_cost_kernel(
         q = q + dt * qd + hdt2 * u_eff
         qd = qd + dt * u_eff
         # quadratic step cost on x_{t+1} (reference src/cost.cu:42-55),
-        # accumulated ELEMENTWISE — per-group reduction deferred to kernel end
+        # accumulated ELEMENTWISE — per-group reduction deferred to phase end
         dq, dqd = q - gq, qd - gqd
         acc = acc + (lam_invs * u_b) * eps + wq * dq * dq + wqd * dqd * dqd
         return q, qd, acc, e_prev
@@ -226,38 +256,24 @@ def _rollout_cost_kernel(
         axis=0,
     )  # (G, KB)
     # mask rollouts beyond the true K so their softmin weight underflows to 0
-    gid = (
-        jax.lax.broadcasted_iota(jnp.int32, (G, KB), 0) * plan.Kpg
-        + i * KB
-        + jax.lax.broadcasted_iota(jnp.int32, (G, KB), 1)
-    )
-    s_ref[:, :] = jnp.where(gid < ints_ref[0, 2], S, jnp.float32(BIG))
+    # (rank-based: never splits an antithetic mirror pair)
+    return jnp.where(_lane_rank(plan, tile_i) < ints_ref[0, 2], S, jnp.float32(BIG))
 
 
-def _weighted_update_kernel(
-    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
-    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
-    u_ref,      # VMEM (SUB, Tpad)
-    p_ref,      # VMEM (SUB, 8)
-    w_ref,      # VMEM (G, KB): softmin weights for this tile, rows = groups
-    du_ref,     # out VMEM (SUB, Tpad): ΔU accumulated over all tiles
-    *, plan: PallasPlan,
-):
-    i = pl.program_id(0)
-    _seed(ints_ref, i)  # SAME stream as kernel A
+def _update_phase_acc(tile_i, w_tile, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan):
+    """Re-seed tile `tile_i`'s stream IDENTICALLY to :func:`_rollout_phase_S`,
+    regenerate its noise, and return the (SUB, Tpad) ΔU contribution weighted
+    by `w_tile` (G, KB). Shared by kernel B and the fused kernel."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
-    u_all = u_ref[:, :]
+    _seed(ints_ref, tile_i)
+    u_all = u_ref[:, :]  # noqa: F841 — unused; kept so both phases read the same refs
     sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
     # expand group weights to one row per (group, action-dim): rows g*A+i = w[g]
     w_exp = jnp.concatenate(
-        [w_ref[g:g + 1, :] for g in range(G) for _ in range(A)]
+        [w_tile[g:g + 1, :] for g in range(G) for _ in range(A)]
         + [jnp.zeros((SUB - G * A, KB), jnp.float32)] * (1 if SUB - G * A else 0),
         axis=0,
     )  # (SUB, KB)
-
-    @pl.when(i == 0)
-    def _():
-        du_ref[:, :] = jnp.zeros_like(du_ref)
 
     def body(t, carry):
         acc, e_prev = carry
@@ -274,7 +290,41 @@ def _weighted_update_kernel(
         0, plan.T, body,
         (jnp.zeros((SUB, Tpad), jnp.float32), jnp.zeros((SUB, KB), jnp.float32)),
     )
-    du_ref[:, :] += acc
+    return acc
+
+
+
+def _rollout_cost_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
+    u_ref,      # VMEM (SUB, Tpad): nominal U — group-tiled rows, transposed
+    p_ref,      # VMEM (SUB, 8): parameter pack (see _P_* columns)
+    s_ref,      # out VMEM (G, KB): per-rollout total cost, rows = groups
+    *, plan: PallasPlan,
+):
+    s_ref[:, :] = _rollout_phase_S(
+        pl.program_id(0), ints_ref, scal_ref, u_ref, p_ref, plan
+    )
+
+
+def _weighted_update_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
+    u_ref,      # VMEM (SUB, Tpad)
+    p_ref,      # VMEM (SUB, 8)
+    w_ref,      # VMEM (G, KB): softmin weights for this tile, rows = groups
+    du_ref,     # out VMEM (SUB, Tpad): ΔU accumulated over all tiles
+    *, plan: PallasPlan,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[:, :] = jnp.zeros_like(du_ref)
+
+    du_ref[:, :] += _update_phase_acc(
+        i, w_ref[:, :], ints_ref, scal_ref, u_ref, p_ref, plan
+    )
 
 
 def pack_inputs(
@@ -367,7 +417,10 @@ def pallas_rollout_costs(
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=pltpu.InterpretParams() if interpret else False,
     )(ints, scal, u_tile, p)
-    return S.reshape(plan.Kpad)  # id = g*Kpg + i*KB + lane
+    S = S.reshape(plan.Kpad)
+    if plan.anti:
+        S = S[anti_rank_perm(plan)]  # rank order: real rollouts occupy [:K]
+    return S
 
 
 def pallas_weighted_update(
@@ -394,7 +447,7 @@ def pallas_weighted_update(
         packed if packed is not None
         else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     )
-    dU = pl.pallas_call(
+    dU_call = pl.pallas_call(
         functools.partial(_weighted_update_kernel, plan=plan),
         grid=(plan.grid,),
         in_specs=[
@@ -410,7 +463,13 @@ def pallas_weighted_update(
             dimension_semantics=("arbitrary",),  # sequential: accumulates du_ref
         ),
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(ints, scal, u_tile, p, weights.reshape(plan.G, plan.Kpg))
+    )
+    if plan.anti:
+        # weights arrive rank-ordered (matching pallas_rollout_costs' S);
+        # kernels address lanes, so scatter back to lane order
+        perm = anti_rank_perm(plan)
+        weights = jnp.zeros_like(weights).at[perm].set(weights)
+    dU = dU_call(ints, scal, u_tile, p, weights.reshape(plan.G, plan.Kpg))
     return dU[: plan.A, : plan.T].T  # (T, a)
 
 
@@ -444,15 +503,14 @@ def _fused_solve_kernel(
     (Pallas TPU scratch semantics): phase A deposits each tile's costs at its
     lane offset, the middle step turns S into softmin weights **in place**
     (β, η reduced chunk-wise), and phase B tiles read their weight slice
-    while regenerating the identical noise stream. Single-chip only — the
+    while regenerating the identical noise stream. The phase bodies are the
+    SAME functions kernels A/B use (_rollout_phase_S / _update_phase_acc),
+    so the fused and two-kernel modes cannot drift. Single-chip only — the
     sharded path keeps the two-kernel form so β/η can cross the mesh as
     pmin/psum between the kernels."""
     i = pl.program_id(0)
-    A, G, KB, Tpad, nk = plan.A, plan.G, plan.KB, plan.Tpad, plan.grid
-    lam = scal_ref[0, 2]        # softmin temperature
-    lam_cost = scal_ref[0, 1]   # control-cost λ
-    sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
-    u_all = u_ref[:, :]
+    KB, nk = plan.KB, plan.grid
+    lam = scal_ref[0, 2]  # softmin temperature
 
     @pl.when(i == 0)
     def _():
@@ -461,41 +519,7 @@ def _fused_solve_kernel(
 
     @pl.when(i < nk)
     def _():  # ---- phase A: rollout costs for tile i
-        _seed(ints_ref, i)
-        dt = scal_ref[0, 0]
-        hdt2 = 0.5 * dt * dt
-        wq, wqd = p_ref[:, _P_WQ:_P_WQ + 1], p_ref[:, _P_WQD:_P_WQD + 1]
-        gq, gqd = p_ref[:, _P_GQ:_P_GQ + 1], p_ref[:, _P_GQD:_P_GQD + 1]
-        lam_invs = lam_cost * p_ref[:, _P_INVS:_P_INVS + 1]
-        q0 = jnp.broadcast_to(p_ref[:, _P_X0Q:_P_X0Q + 1], (SUB, KB))
-        qd0 = jnp.broadcast_to(p_ref[:, _P_X0QD:_P_X0QD + 1], (SUB, KB))
-
-        def body(t, carry):
-            q, qd, acc, e_prev = carry
-            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
-            u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
-            u_b = jnp.broadcast_to(u_t, (SUB, KB))
-            u_eff = u_b + eps
-            q = q + dt * qd + hdt2 * u_eff
-            qd = qd + dt * u_eff
-            dq, dqd = q - gq, qd - gqd
-            acc = acc + (lam_invs * u_b) * eps + wq * dq * dq + wqd * dqd * dqd
-            return q, qd, acc, e_prev
-
-        zero = jnp.zeros((SUB, KB), jnp.float32)
-        q, qd, acc, _ = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero, zero))
-        dq, dqd = q - gq, qd - gqd
-        acc = acc + wq * dq * dq + wqd * dqd * dqd
-        S = jnp.concatenate(
-            [jnp.sum(acc[g * A:(g + 1) * A], axis=0, keepdims=True) for g in range(G)],
-            axis=0,
-        )
-        gid = (
-            jax.lax.broadcasted_iota(jnp.int32, (G, KB), 0) * plan.Kpg
-            + i * KB
-            + jax.lax.broadcasted_iota(jnp.int32, (G, KB), 1)
-        )
-        S = jnp.where(gid < ints_ref[0, 2], S, jnp.float32(BIG))
+        S = _rollout_phase_S(i, ints_ref, scal_ref, u_ref, p_ref, plan)
         s_ref[:, :] = S
         sw_scr[:, pl.ds(pl.multiple_of(i * KB, LANE), KB)] = S
 
@@ -526,31 +550,10 @@ def _fused_solve_kernel(
     @pl.when(i > nk)
     def _():  # ---- phase B: ΔU accumulation for tile j = i − nk − 1
         j = i - nk - 1
-        _seed(ints_ref, j)  # SAME stream as this tile's phase A
         w = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]  # (G, KB)
-        w_exp = jnp.concatenate(
-            [w[g:g + 1, :] for g in range(G) for _ in range(A)]
-            + [jnp.zeros((SUB - G * A, KB), jnp.float32)] * (1 if SUB - G * A else 0),
-            axis=0,
+        acc_scr[:, :] += _update_phase_acc(
+            j, w, ints_ref, scal_ref, u_ref, p_ref, plan
         )
-
-        def body(t, carry):
-            acc, e_prev = carry
-            eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
-            col = jnp.sum(w_exp * eps, axis=1, keepdims=True)
-            fold = col[0:A]
-            for g in range(1, G):
-                fold = fold + col[g * A:(g + 1) * A]
-            fold = jnp.concatenate(
-                [fold, jnp.zeros((SUB - A, 1), jnp.float32)], axis=0
-            )
-            return acc + fold * _onehot_lanes(t, Tpad), e_prev
-
-        acc, _ = jax.lax.fori_loop(
-            0, plan.T, body,
-            (jnp.zeros((SUB, Tpad), jnp.float32), jnp.zeros((SUB, KB), jnp.float32)),
-        )
-        acc_scr[:, :] += acc
 
         @pl.when(i == 2 * nk)
         def _():
@@ -607,4 +610,7 @@ def pallas_fused_solve_core(
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
     )(ints, scal, u_tile, p)
-    return S.reshape(plan.Kpad), dU[: plan.A, : plan.T].T
+    S = S.reshape(plan.Kpad)
+    if plan.anti:
+        S = S[anti_rank_perm(plan)]  # rank order: real rollouts occupy [:K]
+    return S, dU[: plan.A, : plan.T].T

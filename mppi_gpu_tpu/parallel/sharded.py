@@ -65,6 +65,13 @@ def sharded_mppi_solve(
     if K % n != 0:
         raise ValueError(f"K={K} must divide evenly over {n} devices")
     k_loc = K // n
+    if antithetic and k_loc % 2 != 0:
+        raise ValueError(
+            f"antithetic sampling needs an even per-device rollout count; "
+            f"K={K} over {n} devices gives {k_loc} per device — otherwise one "
+            f"rollout per shard would silently drop and diagnostics would not "
+            f"have shape (K,)"
+        )
 
     def local_solve(dyn, cost, x0, U, key, sigma, lambda_, max_a):
         me = jax.lax.axis_index(axis_name)
@@ -109,10 +116,13 @@ class ShardedMPPIController(MPPIController):
         mesh: Mesh | None = None,
         rollout_backend: str = "auto",
     ) -> None:
-        super().__init__(cfg, dynamics, cost, rollout_backend=rollout_backend)
+        # base init with the generic backend: its single-device jitted solve
+        # is replaced below, so don't resolve 'auto' against the wrong
+        # (default) platform here
+        super().__init__(cfg, dynamics, cost, rollout_backend="scan")
         self.mesh = mesh if mesh is not None else make_mesh()
-        # re-resolve 'auto' against the mesh's platform (may differ from the
-        # default backend, e.g. a forced-CPU virtual mesh in tests)
+        # resolve the *requested* backend against the mesh's platform (may
+        # differ from the default backend, e.g. a forced-CPU virtual mesh)
         from mppi_gpu_tpu.controller import resolve_backend
 
         self.rollout_backend = resolve_backend(

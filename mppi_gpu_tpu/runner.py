@@ -159,9 +159,14 @@ def run_closed_loop(
             check_solve(step, action, res.info)
 
         if step_dump_every and step % step_dump_every == 0 and step_dump_dir:
-            # Re-run the identical solve (same key) materializing eps + full
-            # sampled trajectories — the reference's save_step path
-            # (src/main.cu:355-367).
+            # Dump a solve from the same state and key, materializing eps +
+            # full sampled trajectories (the reference's save_step path,
+            # src/main.cu:355-367). NOTE: solve_debug always samples via the
+            # scan/threefry path, so under the pallas or sharded backends the
+            # dump documents an equivalent-in-distribution solve, NOT the
+            # bit-identical noise stream behind the executed action; the
+            # NumPy-oracle check in scripts/plot_csv.py verifies the dump's
+            # own internal consistency either way.
             dbg_res, eps, traj = ctrl.solve_debug(
                 x, U_prev, jax.random.fold_in(key, step)
             )

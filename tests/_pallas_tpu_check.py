@@ -90,19 +90,22 @@ assert jnp.all(jnp.abs(res.action - res_scan.action) < 0.5), (
 
 # --- antithetic mode: mirror lanes carry exactly −ε of their pair, and the
 # kernel A/B cross-check still holds
-plan_a = pr.make_plan(K, T, A, antithetic=True)
-S_a = jax.jit(lambda *a: pr.pallas_rollout_costs(*a, K=K, antithetic=True))(
+KA = K - K % 2  # antithetic requires even K
+plan_a = pr.make_plan(KA, T, A, antithetic=True)
+S_a = jax.jit(lambda *a: pr.pallas_rollout_costs(*a, K=KA, antithetic=True))(
     dyn, cost, x0, U, key, sigma
 )
-half = plan_a.KB // 2
-for k, k_mirror in ((0, half), (3, 3 + half)):
+# mirror pairs are rank-adjacent: (2m, 2m+1)
+for k, k_mirror in ((0, 1), (6, 7), (KA - 2, KA - 1)):
     w1 = jnp.zeros((plan_a.Kpad,), jnp.float32).at[k].set(1.0)
     w2 = jnp.zeros((plan_a.Kpad,), jnp.float32).at[k_mirror].set(1.0)
-    e1 = pr.pallas_weighted_update(dyn, cost, x0, U, key, sigma, w1, K=K, antithetic=True)
-    e2 = pr.pallas_weighted_update(dyn, cost, x0, U, key, sigma, w2, K=K, antithetic=True)
-    assert jnp.allclose(e1, -e2), "mirror lanes must carry negated noise"
+    e1 = pr.pallas_weighted_update(dyn, cost, x0, U, key, sigma, w1, K=KA, antithetic=True)
+    e2 = pr.pallas_weighted_update(dyn, cost, x0, U, key, sigma, w2, K=KA, antithetic=True)
+    assert jnp.allclose(e1, -e2), "mirror ranks must carry negated noise"
     S_ref = float(rollout_costs(dyn, cost, x0, U, e1[:, None, :])[0])
     assert abs(float(S_a[k]) - S_ref) < 1e-4 * max(1.0, abs(S_ref))
+# padding never splits a pair: every real rank has a real mirror
+assert float(S_a[KA - 1]) < 1e37 and float(S_a[KA]) > 1e37
 
 # --- OU (time-correlated) noise: kernel A/B consistency via one-hot weight,
 # and the regenerated per-rollout noise must show lag-1 autocorrelation ≈ β

@@ -37,6 +37,24 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ck.cfg == cfg
 
 
+def test_checkpoint_nested_config_stays_hashable(tmp_path):
+    """Obstacle configs carry nested tuples; the json round-trip must restore
+    them as tuples all the way down (MPPIConfig promises hashability)."""
+    import jax
+
+    cfg = load_config(CFG).replace(
+        cost_type="obstacle", obstacles=((0.1, 0.2, 0.05), (0.3, 0.4, 0.1))
+    )
+    path = tmp_path / "ck.npz"
+    save_checkpoint(
+        path, step=1, U=np.zeros((cfg.horizon, cfg.action_dim)),
+        key=jax.random.key(0), x=np.zeros(cfg.state_dim), time=0.1, cfg=cfg,
+    )
+    ck = load_checkpoint(path)
+    assert ck.cfg == cfg
+    hash(ck.cfg)  # must not raise
+
+
 @pytest.mark.parametrize(
     "backend",
     ["jax"] + (["native"] if native_available() else []),
