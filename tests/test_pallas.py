@@ -98,7 +98,7 @@ def test_pallas_on_real_tpu():
     try:
         out = subprocess.run(
             [sys.executable, script],
-            capture_output=True, text=True, timeout=600, env=env,
+            capture_output=True, text=True, timeout=900, env=env,
         )
     except subprocess.TimeoutExpired:
         pytest.skip("TPU check timed out (tunnel unavailable?)")
