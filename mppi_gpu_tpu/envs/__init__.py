@@ -10,6 +10,7 @@ Two interchangeable backends with identical physics:
 
 from mppi_gpu_tpu.envs.params import WorldParams, world_params_for_config
 from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld
+from mppi_gpu_tpu.envs.cartpole_world import CartPoleParams, CartPoleWorld
 from mppi_gpu_tpu.envs.pendulum_world import PendulumParams, PendulumWorld
 from mppi_gpu_tpu.envs.native import NativePointMassWorld, native_available
 
@@ -18,9 +19,15 @@ def is_pendulum_env(env: str) -> bool:
     return "pendulum" in str(env)
 
 
+def is_cartpole_env(env: str) -> bool:
+    return "cartpole" in str(env)
+
+
 def params_for_config(cfg):
     """Env-family dispatch: the config's `env` name (or XML path) selects the
     world family and its physical parameters."""
+    if is_cartpole_env(cfg.env):
+        return CartPoleParams(max_force=max(cfg.max_a))
     if is_pendulum_env(cfg.env):
         return PendulumParams(max_torque=max(cfg.max_a))
     return world_params_for_config(cfg)
@@ -28,6 +35,8 @@ def params_for_config(cfg):
 
 def make_jax_world(cfg, params=None):
     params = params if params is not None else params_for_config(cfg)
+    if isinstance(params, CartPoleParams):
+        return CartPoleWorld(params)
     if isinstance(params, PendulumParams):
         return PendulumWorld(params)
     return PointMassWorld(params)
@@ -42,6 +51,8 @@ __all__ = [
     "PointMassWorld",
     "PendulumWorld",
     "PendulumParams",
+    "CartPoleWorld",
+    "CartPoleParams",
     "NativePointMassWorld",
     "native_available",
 ]

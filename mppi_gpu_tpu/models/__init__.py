@@ -7,6 +7,7 @@ with plain broadcasting, no vmap needed for the analytic models.
 
 from mppi_gpu_tpu.models.base import Dynamics
 from mppi_gpu_tpu.models.point_mass import PointMassLTI
+from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
 from mppi_gpu_tpu.models.pendulum import PendulumDynamics
 from mppi_gpu_tpu.models.neural import MLPDynamics, init_mlp_dynamics
 
@@ -14,12 +15,14 @@ from mppi_gpu_tpu.models.neural import MLPDynamics, init_mlp_dynamics
 def dynamics_for_config(cfg) -> Dynamics:
     """Default rollout model for a config's env family (override by passing
     `dynamics=` to the controller)."""
+    if "cartpole" in str(cfg.env):
+        return CartPoleDynamics.create(cfg.dt)
     if "pendulum" in str(cfg.env):
         return PendulumDynamics.create(cfg.dt)
     return PointMassLTI.create(cfg.dt, cfg.action_dim)
 
 
 __all__ = [
-    "Dynamics", "PointMassLTI", "PendulumDynamics", "MLPDynamics",
+    "Dynamics", "PointMassLTI", "PendulumDynamics", "CartPoleDynamics", "MLPDynamics",
     "init_mlp_dynamics", "dynamics_for_config",
 ]

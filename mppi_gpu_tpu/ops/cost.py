@@ -110,6 +110,32 @@ class PendulumSwingupCost:
         return self._state(x)
 
 
+@register_dataclass
+@dataclass(frozen=True)
+class CartPoleBalanceCost:
+    """Balance cost for the cart-pole family: keep the pole upright, the cart
+    centered, and both velocities low. ``w = [w_pos, w_angle, w_posvel,
+    w_angvel]``; the angle term is wrap-safe (1 − cos θ)."""
+
+    w: jax.Array        # (4,)
+    lambda_: jax.Array
+    inv_s: jax.Array    # (a,)
+
+    def _state(self, x: jax.Array) -> jax.Array:
+        return (
+            self.w[0] * x[..., 0] ** 2
+            + self.w[1] * (1.0 - jnp.cos(x[..., 1]))
+            + self.w[2] * x[..., 2] ** 2
+            + self.w[3] * x[..., 3] ** 2
+        )
+
+    def step(self, x_next: jax.Array, u: jax.Array, eps: jax.Array) -> jax.Array:
+        return self.lambda_ * jnp.sum(u * self.inv_s * eps, axis=-1) + self._state(x_next)
+
+    def final(self, x: jax.Array) -> jax.Array:
+        return self._state(x)
+
+
 CostFactory = Callable[[MPPIConfig], Cost]
 COST_REGISTRY: dict[str, CostFactory] = {}
 
@@ -171,6 +197,23 @@ def _make_pendulum(cfg: MPPIConfig) -> PendulumSwingupCost:
     return PendulumSwingupCost(
         w_angle=jnp.float32(cfg.cost_w[0]),
         w_vel=jnp.float32(cfg.cost_w[1]),
+        lambda_=jnp.float32(cfg.lambda_),
+        inv_s=inv_s,
+    )
+
+
+@register_cost("cartpole")
+def _make_cartpole(cfg: MPPIConfig) -> CartPoleBalanceCost:
+    if len(cfg.cost_w) != 4:
+        raise ValueError(
+            f"cartpole cost needs cost.w = [w_pos, w_angle, w_posvel, w_angvel], got {cfg.cost_w}"
+        )
+    if cfg.inv_sigma == "from-noise":
+        inv_s = 1.0 / (jnp.asarray(cfg.noise, jnp.float32) ** 2)
+    else:
+        inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
+    return CartPoleBalanceCost(
+        w=jnp.asarray(cfg.cost_w, jnp.float32),
         lambda_=jnp.float32(cfg.lambda_),
         inv_s=inv_s,
     )

@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from mppi_gpu_tpu.controller import MPPIController
-from mppi_gpu_tpu.envs import is_pendulum_env, make_jax_world, params_for_config
+from mppi_gpu_tpu.envs import (
+    is_cartpole_env,
+    is_pendulum_env,
+    make_jax_world,
+    params_for_config,
+)
 from mppi_gpu_tpu.envs.params import WorldParams
 from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld
 from mppi_gpu_tpu.io.csvio import write_step_dump_csv, write_traj_csv
@@ -46,6 +51,10 @@ class EpisodeResult:
 
 def _make_world(cfg, params, backend: str) -> Any:
     if backend == "native":
+        if is_cartpole_env(cfg.env):
+            raise ValueError(
+                "no native C++ cart-pole world yet; use --world jax"
+            )
         if is_pendulum_env(cfg.env):
             from mppi_gpu_tpu.envs.native import NativePendulumWorld
 
