@@ -99,6 +99,62 @@ def run_mismatch(
     return MismatchResult(traj_model=traj_model, traj_world=traj_world, us=us)
 
 
+def run_mismatch_config(
+    cfg,
+    *,
+    n_steps: int = 100,
+    seed: int = 0,
+) -> MismatchResult:
+    """Model-vs-world mismatch for the non-point-mass families (pendulum,
+    cart-pole): drive the SAME random action sequence through the config's
+    dynamics model (one step per input, at cfg.dt) and through the
+    ground-truth world (raw physics steps covering cfg.dt of sim time per
+    input). For these families model and world share the ODE, so the gap
+    isolates the integration-level mismatch (coarse RK2 vs fine RK4)."""
+    import jax as _jax
+
+    from mppi_gpu_tpu.envs import make_jax_world, params_for_config
+    from mppi_gpu_tpu.models import dynamics_for_config
+
+    rng = np.random.default_rng(seed)
+    a = cfg.action_dim
+    us = (
+        rng.standard_normal((n_steps, a)).astype(np.float32)
+        * np.asarray(cfg.max_a, np.float32) * 0.5
+    )
+    dyn = dynamics_for_config(cfg)
+    params = params_for_config(cfg)
+    world = make_jax_world(cfg, params)
+    phys_steps = max(1, round(cfg.dt / params.timestep))
+
+    @_jax.jit
+    def rollouts(us):
+        ws0 = world.reset()
+
+        def wbody(ws, u):
+            for _ in range(phys_steps):
+                ws = world.physics_step(ws, u)
+            return ws, ws.x
+
+        _, xw = _jax.lax.scan(wbody, ws0, us)
+
+        def mbody(x, u):
+            x1 = dyn.step(x, u)
+            return x1, x1
+
+        _, xm = _jax.lax.scan(mbody, jnp.asarray(ws0.x), us)
+        x0 = jnp.asarray(ws0.x)[None]
+        return (
+            jnp.concatenate([x0, xm], axis=0),
+            jnp.concatenate([x0, xw], axis=0),
+        )
+
+    xm, xw = rollouts(jnp.asarray(us))
+    return MismatchResult(
+        traj_model=np.asarray(xm), traj_world=np.asarray(xw), us=us
+    )
+
+
 def save_mismatch_csv(path: str, res: MismatchResult) -> None:
     """Side-by-side CSV like the reference's missmatch.csv
     (model_missmatch.cpp:102-121; `_s` = simulated model, `_w` = world)."""
@@ -122,15 +178,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
-    if args.config:
-        cfg = load_config(args.config)
-        n_axes, dt = cfg.action_dim, cfg.dt
+    cfg = load_config(args.config) if args.config else None
+    if cfg is not None and ("pendulum" in cfg.env or "cartpole" in cfg.env):
+        # non-point-mass families share the ODE between model and world;
+        # the harness isolates the integrator-level mismatch
+        res = run_mismatch_config(cfg, n_steps=args.steps, seed=args.seed)
     else:
-        n_axes, dt = args.axes, 0.1
-
-    res = run_mismatch(
-        n_axes, n_steps=args.steps, dt=dt, seed=args.seed, world_backend=args.world
-    )
+        n_axes, dt = (cfg.action_dim, cfg.dt) if cfg else (args.axes, 0.1)
+        res = run_mismatch(
+            n_axes, n_steps=args.steps, dt=dt, seed=args.seed,
+            world_backend=args.world,
+        )
     save_mismatch_csv(args.out, res)
     print(f"open-loop position RMSE (model vs world): {res.position_rmse:.4f} m")
     print(f"saved {args.out}")

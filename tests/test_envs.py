@@ -102,3 +102,18 @@ def test_native_world_rollout_matches_stepwise(rng):
         xs.append(w2.get_x())
     np.testing.assert_allclose(traj, np.asarray(xs), rtol=1e-6)
     assert traj.shape == (21, 4)
+
+
+def test_mismatch_harness_all_families():
+    """The miss harness covers every model family; for the ODE-sharing
+    families (pendulum/cartpole) the open-loop gap is pure integrator
+    mismatch and must be small but nonzero."""
+    from mppi_gpu_tpu.config import load_config
+    from mppi_gpu_tpu.miss import run_mismatch_config
+
+    for cfg_path, tol in (("configs/pendulum.yaml", 0.05), ("configs/cartpole.yaml", 0.25)):
+        cfg = load_config(cfg_path)
+        res = run_mismatch_config(cfg, n_steps=40)
+        assert res.traj_model.shape == res.traj_world.shape == (41, cfg.state_dim)
+        err = float(np.abs(res.traj_model - res.traj_world).max())
+        assert 0.0 < err < tol, f"{cfg_path}: integrator gap {err}"
