@@ -236,4 +236,123 @@ void mppi_pendulum_set_state(Pendulum* p, const float* x, float time) {
 
 }  // extern "C" (pendulum fns)
 
+// ---------------------------------------------------------------------------
+// Cart-pole world (third model family): same coupled ODE as the JAX world in
+// mppi_gpu_tpu/envs/cartpole_world.py — theta from upright,
+//   a    = (u + mp*l*thd^2*sin th) / (mc + mp)
+//   thdd = (g*sin th - cos th * a) / (l*(4/3 - mp*cos^2 th/(mc+mp)))
+//   pdd  = a - mp*l*thdd*cos th / (mc + mp)
+// RK4 at `timestep`, cart clamped at +-track_limit with velocity zeroing.
+
+struct CartPole {
+  float cart_mass, pole_mass, pole_length, gravity, max_force, track_limit;
+  float timestep, control_period, sim_end, init_theta;
+  float p, th, pd, thd, time;
+  int steps_per_control;
+};
+
+static void cp_accels(const CartPole* c, float th, float thd, float u,
+                      float* pdd, float* thdd) {
+  const float total = c->cart_mass + c->pole_mass;
+  const float s = std::sin(th), co = std::cos(th);
+  const float a = (u + c->pole_mass * c->pole_length * thd * thd * s) / total;
+  *thdd = (c->gravity * s - co * a) /
+          (c->pole_length * (4.0f / 3.0f - c->pole_mass * co * co / total));
+  *pdd = a - c->pole_mass * c->pole_length * (*thdd) * co / total;
+}
+
+static void cp_physics_step(CartPole* c, float u_in) {
+  const float h = c->timestep;
+  const float u = clampf(u_in, -c->max_force, c->max_force);
+  float y[4] = {c->p, c->th, c->pd, c->thd};
+  float k[4][4];
+  for (int stage = 0; stage < 4; ++stage) {
+    const float f = (stage == 0) ? 0.0f : (stage == 3 ? h : 0.5f * h);
+    float ys[4];
+    for (int i = 0; i < 4; ++i)
+      ys[i] = y[i] + (stage == 0 ? 0.0f : f * k[stage - 1][i]);
+    float pdd, thdd;
+    cp_accels(c, ys[1], ys[3], u, &pdd, &thdd);
+    k[stage][0] = ys[2];
+    k[stage][1] = ys[3];
+    k[stage][2] = pdd;
+    k[stage][3] = thdd;
+  }
+  for (int i = 0; i < 4; ++i)
+    y[i] += (h / 6.0f) * (k[0][i] + 2.0f * k[1][i] + 2.0f * k[2][i] + k[3][i]);
+  // hard track limit: clamp cart, zero its velocity at the stop
+  if (y[0] > c->track_limit || y[0] < -c->track_limit) {
+    y[0] = clampf(y[0], -c->track_limit, c->track_limit);
+    y[2] = 0.0f;
+  }
+  c->p = y[0];
+  c->th = y[1];
+  c->pd = y[2];
+  c->thd = y[3];
+  c->time += h;
+}
+
+extern "C" {
+
+CartPole* mppi_cartpole_create(float cart_mass, float pole_mass,
+                               float pole_length, float gravity,
+                               float max_force, float track_limit,
+                               float timestep, float control_period,
+                               float sim_end, float init_theta) {
+  CartPole* c = static_cast<CartPole*>(std::calloc(1, sizeof(CartPole)));
+  if (!c) return nullptr;
+  c->cart_mass = cart_mass;
+  c->pole_mass = pole_mass;
+  c->pole_length = pole_length;
+  c->gravity = gravity;
+  c->max_force = max_force;
+  c->track_limit = track_limit;
+  c->timestep = timestep;
+  c->control_period = control_period;
+  c->sim_end = sim_end;
+  c->init_theta = init_theta;
+  c->steps_per_control =
+      static_cast<int>(std::ceil(control_period / timestep - 1e-9));
+  c->th = init_theta;
+  c->time = timestep;
+  return c;
+}
+
+void mppi_cartpole_destroy(CartPole* c) { std::free(c); }
+
+void mppi_cartpole_reset(CartPole* c) {
+  c->p = c->pd = c->thd = 0.0f;
+  c->th = c->init_theta;
+  c->time = c->timestep;
+}
+
+int mppi_cartpole_simulate(CartPole* c, const float* u) {
+  if (c->time >= c->sim_end) return 1;
+  for (int s = 0; s < c->steps_per_control; ++s) cp_physics_step(c, u[0]);
+  return 0;
+}
+
+void mppi_cartpole_step(CartPole* c, const float* u) {
+  cp_physics_step(c, u[0]);
+}
+
+void mppi_cartpole_get_x(CartPole* c, float* x) {
+  x[0] = c->p;
+  x[1] = c->th;
+  x[2] = c->pd;
+  x[3] = c->thd;
+}
+
+float mppi_cartpole_time(CartPole* c) { return c->time; }
+
+void mppi_cartpole_set_state(CartPole* c, const float* x, float time) {
+  c->p = x[0];
+  c->th = x[1];
+  c->pd = x[2];
+  c->thd = x[3];
+  c->time = time;
+}
+
+}  // extern "C" (cartpole fns)
+
 }  // extern "C"

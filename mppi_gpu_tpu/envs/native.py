@@ -75,6 +75,17 @@ def _load() -> ctypes.CDLL | None:
         lib.mppi_pendulum_time.restype = ctypes.c_float
         lib.mppi_pendulum_time.argtypes = [ctypes.c_void_p]
         lib.mppi_pendulum_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
+        lib.mppi_cartpole_create.restype = ctypes.c_void_p
+        lib.mppi_cartpole_create.argtypes = [ctypes.c_float] * 10
+        lib.mppi_cartpole_destroy.argtypes = [ctypes.c_void_p]
+        lib.mppi_cartpole_reset.argtypes = [ctypes.c_void_p]
+        lib.mppi_cartpole_simulate.restype = ctypes.c_int
+        lib.mppi_cartpole_simulate.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_cartpole_step.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_cartpole_get_x.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_cartpole_time.restype = ctypes.c_float
+        lib.mppi_cartpole_time.argtypes = [ctypes.c_void_p]
+        lib.mppi_cartpole_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
         lib.mppi_world_steps_per_control.restype = ctypes.c_int
         lib.mppi_world_steps_per_control.argtypes = [ctypes.c_void_p]
         lib.mppi_world_rollout.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
@@ -253,6 +264,82 @@ class NativePendulumWorld:
         if x.shape != (2,):
             raise ValueError("x must have shape (2,)")
         self._lib.mppi_pendulum_set_state(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(time),
+        )
+
+
+class NativeCartPoleWorld:
+    """Reference-env-shaped API over the native cart-pole simulator."""
+
+    def __init__(self, params) -> None:  # params: envs.cartpole_world.CartPoleParams
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native world library unavailable; use envs.CartPoleWorld instead"
+            )
+        self._lib = lib
+        self.params = params
+        self._handle = lib.mppi_cartpole_create(
+            ctypes.c_float(params.cart_mass),
+            ctypes.c_float(params.pole_mass),
+            ctypes.c_float(params.pole_length),
+            ctypes.c_float(params.gravity),
+            ctypes.c_float(params.max_force),
+            ctypes.c_float(params.track_limit),
+            ctypes.c_float(params.timestep),
+            ctypes.c_float(params.control_period),
+            ctypes.c_float(params.sim_end),
+            ctypes.c_float(params.init_theta),
+        )
+        if not self._handle:
+            raise RuntimeError("mppi_cartpole_create failed")
+
+    def __del__(self) -> None:  # pragma: no cover
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.mppi_cartpole_destroy(handle)
+            self._handle = None
+
+    def _uptr(self, u: np.ndarray) -> np.ndarray:
+        u = np.ascontiguousarray(u, dtype=np.float32)
+        if u.shape != (1,):
+            raise ValueError(f"u must have shape (1,), got {u.shape}")
+        return u
+
+    def reset(self) -> None:
+        self._lib.mppi_cartpole_reset(self._handle)
+
+    def simulate(self, u: np.ndarray) -> bool:
+        u = self._uptr(u)
+        return bool(
+            self._lib.mppi_cartpole_simulate(
+                self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+        )
+
+    def step(self, u: np.ndarray) -> None:
+        u = self._uptr(u)
+        self._lib.mppi_cartpole_step(
+            self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+
+    def get_x(self) -> np.ndarray:
+        x = np.empty((4,), np.float32)
+        self._lib.mppi_cartpole_get_x(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return x
+
+    @property
+    def time(self) -> float:
+        return float(self._lib.mppi_cartpole_time(self._handle))
+
+    def set_state(self, x: np.ndarray, time: float) -> None:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.shape != (4,):
+            raise ValueError("x must have shape (4,)")
+        self._lib.mppi_cartpole_set_state(
             self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_float(time),
         )

@@ -52,9 +52,9 @@ class EpisodeResult:
 def _make_world(cfg, params, backend: str) -> Any:
     if backend == "native":
         if is_cartpole_env(cfg.env):
-            raise ValueError(
-                "no native C++ cart-pole world yet; use --world jax"
-            )
+            from mppi_gpu_tpu.envs.native import NativeCartPoleWorld
+
+            return NativeCartPoleWorld(params)
         if is_pendulum_env(cfg.env):
             from mppi_gpu_tpu.envs.native import NativePendulumWorld
 

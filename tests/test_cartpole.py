@@ -66,3 +66,33 @@ def test_balance():
     assert np.abs(th).max() < 0.6, f"pole fell: max |theta| {np.abs(th).max():.2f}"
     assert np.abs(th[-50:]).max() < 0.2, "not stabilized upright at the end"
     assert np.abs(p).max() < 2.0, "cart ran toward the track limit"
+
+
+def test_native_matches_jax_world():
+    from mppi_gpu_tpu.envs.native import NativeCartPoleWorld, native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    params = CartPoleParams()
+    njax, nat = CartPoleWorld(params), NativeCartPoleWorld(params)
+    ws = njax.reset()
+    sim = jax.jit(njax.simulate)
+    rng = np.random.default_rng(0)
+    for i in range(40):
+        u = rng.uniform(-8, 8, size=(1,)).astype(np.float32)
+        ws, _ = sim(ws, jnp.asarray(u))
+        nat.simulate(u)
+        np.testing.assert_allclose(
+            np.asarray(ws.x), nat.get_x(), rtol=2e-4, atol=2e-5,
+            err_msg=f"diverged at cycle {i}",
+        )
+
+
+def test_native_balance_runs():
+    from mppi_gpu_tpu.envs.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    cfg = load_config(CFG).replace(samples=256, horizon=25)
+    res = run_closed_loop(MPPIController(cfg), world_backend="native", max_steps=60)
+    assert np.abs(res.xs[:, 1]).max() < 0.6  # pole stays up
