@@ -93,6 +93,9 @@ class PallasPlan(NamedTuple):
     Tpad: int
     anti: bool = False   # antithetic: lanes [KB/2, KB) mirror lanes [0, KB/2)
     ou: bool = False     # OU noise recursion enabled (static: β=0 compiles it out)
+    testmode: bool = False  # deterministic pseudo-noise instead of the PRNG:
+                            # full-kernel verification on CPU (the Mosaic
+                            # interpreter stubs prng_random_bits to zeros)
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -104,7 +107,8 @@ class PallasPlan(NamedTuple):
 
 
 def make_plan(
-    K: int, T: int, action_dim: int, antithetic: bool = False, ou_beta: float = 0.0
+    K: int, T: int, action_dim: int, antithetic: bool = False, ou_beta: float = 0.0,
+    testmode: bool = False,
 ) -> PallasPlan:
     if not 1 <= action_dim <= SUB:
         raise ValueError(f"pallas backend supports 1<=action_dim<={SUB}, got {action_dim}")
@@ -113,9 +117,12 @@ def make_plan(
     G = SUB // action_dim
     KB = _pick_kb(_round_up(K, G) // G, antithetic)
     Kpg = _round_up(_round_up(K, G) // G, KB)
+    if testmode and antithetic:
+        raise ValueError("testmode covers anti=False only (mirroring is tested separately)")
     return PallasPlan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
         Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
+        testmode=testmode,
     )
 
 
@@ -148,13 +155,54 @@ def _sample_eps(sigma, KB: int, anti: bool) -> jax.Array:
     return sigma * n
 
 
-def _next_eps(t, e_prev, sigma, scal_ref, KB: int, anti: bool, ou: bool):
+def _fake_normal(t, tile, KB: int):
+    """Deterministic pseudo-noise for testmode: a smooth function of
+    (t, tile, row, lane) that the host can replicate exactly
+    (:func:`fake_noise_tensor`), giving full-kernel verification where the
+    interpreter's PRNG is stubbed."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 1).astype(jnp.float32)
+    tf = jnp.float32(t) if not isinstance(t, (int, float)) else jnp.float32(t)
+    return jnp.sin(0.917 * tf + 0.379 * lane + 1.37 * row + 2.11 * jnp.float32(tile))
+
+
+def fake_noise_tensor(plan: PallasPlan, sigma, ou_beta: float = 0.0) -> jax.Array:
+    """Host twin of the kernels' testmode noise: (T, Kpad, A) epsilon tensor
+    in ROLLOUT-RANK order, with the OU recursion applied identically. Feed it
+    to the scan-path oracle to verify kernel output exactly."""
+    assert plan.testmode and not plan.anti
+    T, A, G, KB, Kpg = plan.T, plan.A, plan.G, plan.KB, plan.Kpg
+    k = jnp.arange(plan.Kpad)
+    g, rem = k // Kpg, k % Kpg
+    tile, lane = rem // KB, rem % KB
+    row = g[:, None] * A + jnp.arange(A)[None, :]            # (Kpad, A)
+    t = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+    n = jnp.sin(
+        0.917 * t + 0.379 * lane[None, :, None].astype(jnp.float32)
+        + 1.37 * row[None, :, :].astype(jnp.float32)
+        + 2.11 * tile[None, :, None].astype(jnp.float32)
+    )                                                         # (T, Kpad, A)
+    if ou_beta:
+        c = (1.0 - ou_beta**2) ** 0.5
+
+        def body(prev, nt):
+            e = ou_beta * prev + c * nt
+            return e, e
+
+        _, tail = jax.lax.scan(body, n[0], n[1:])
+        n = jnp.concatenate([n[:1], tail], axis=0)
+    return jnp.broadcast_to(sigma, (A,)) * n
+
+
+def _next_eps(t, e_prev, sigma, scal_ref, KB: int, anti: bool, ou: bool, tile=0, testmode: bool = False):
     """One step of the unit-variance OU noise process:
     e_t = β e_{t−1} + √(1−β²) ν_t, primed with e_0 = ν_0. Returns
     (ε_t = σ·e_t, e_t). The recursion is deterministic given the PRNG
     stream, so kernels A and B replay identical correlated noise. `ou` is
     STATIC: the iid (β=0) kernels carry no recursion ops at all."""
-    if anti:
+    if testmode:
+        n = _fake_normal(t, tile, KB)
+    elif anti:
         n = _standard_normal((SUB, KB // 2))
         n = jnp.concatenate([n, -n], axis=1)
     else:
@@ -231,7 +279,7 @@ def _rollout_phase_S(tile_i, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan)
 
     def body(t, carry):
         q, qd, acc, e_prev = carry
-        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode)
         u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
         u_b = jnp.broadcast_to(u_t, (SUB, KB))
         u_eff = u_b + eps
@@ -277,7 +325,7 @@ def _update_phase_acc(tile_i, w_tile, ints_ref, scal_ref, u_ref, p_ref, plan: Pa
 
     def body(t, carry):
         acc, e_prev = carry
-        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou)
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode)
         col = jnp.sum(w_exp * eps, axis=1, keepdims=True)  # (SUB, 1)
         # fold groups: dU_t[i] = Σ_g col[g*A + i]
         fold = col[0:A]
@@ -392,13 +440,14 @@ def pallas_rollout_costs(
     ou_beta: float = 0.0,
     interpret: bool = False,
     packed=None,
+    testmode: bool = False,
 ) -> jax.Array:
     """Kernel A: per-rollout total costs, shape (Kpad,) with BIG in the pad.
     The (T, K, a) noise is generated on-chip and discarded — regenerate it
     deterministically with :func:`pallas_weighted_update` (same key).
     Pass `packed` (from :func:`pack_inputs`) to share packing across both
     kernels of one solve."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode)
     ints, scal, u_tile, p = (
         packed if packed is not None
         else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
@@ -437,12 +486,13 @@ def pallas_weighted_update(
     ou_beta: float = 0.0,
     interpret: bool = False,
     packed=None,
+    testmode: bool = False,
 ) -> jax.Array:
     """Kernel B: ΔU[t] = Σ_k w_k ε_k[t] (T, a), regenerating ε from `key`.
     This is the reference's `update_act` T-loop of reduction ladders
     (src/point_mass.cu:384-480) as one single-launch kernel with zero HBM
     traffic for ε."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode)
     ints, scal, u_tile, p = (
         packed if packed is not None
         else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
@@ -572,11 +622,13 @@ def pallas_fused_solve_core(
     K: int,
     antithetic: bool = False,
     ou_beta: float = 0.0,
+    testmode: bool = False,
+    interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
     no XLA ops or dispatch between the rollout, softmin, and update phases.
     λ is read from the packed scalars (cost.lambda_). Single-chip path only."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
+    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode)
     ints, scal, u_tile, p = pack_inputs(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
     )
@@ -609,6 +661,7 @@ def pallas_fused_solve_core(
             pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(ints, scal, u_tile, p)
     S = S.reshape(plan.Kpad)
     if plan.anti:

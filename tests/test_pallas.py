@@ -107,3 +107,49 @@ def test_pallas_on_real_tpu():
     assert "PALLAS_TPU_OK" in out.stdout, (
         f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-2000:]}"
     )
+
+
+@pytest.mark.parametrize("A,K,T,ou", [(2, 300, 12, 0.0), (3, 513, 7, 0.6), (1, 64, 20, 0.0)])
+def test_interpret_testmode_full_kernel_math(A, K, T, ou):
+    """Deterministic pseudo-noise mode: the interpreter's stubbed PRNG is
+    replaced by a host-replicable pattern, so the ENTIRE kernel math —
+    group packing, one-hot U extraction, dynamics, cost accumulation,
+    masking, OU recursion, the weighted update — is verified on CPU against
+    the scan-path oracle with the exact same noise."""
+    dyn, cost, x0, U, sigma = _setup(A, T, K)
+    key = jax.random.key(0)
+    plan = pr.make_plan(K, T, A, ou_beta=ou, testmode=True)
+    eps_ref = pr.fake_noise_tensor(plan, sigma, ou_beta=ou)  # (T, Kpad, A)
+
+    S = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, ou_beta=ou, interpret=True, testmode=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S[:K]), np.asarray(S_oracle), rtol=3e-5)
+    assert np.all(np.asarray(S[K:]) > 1e37)
+
+    w = jax.random.dirichlet(key, jnp.ones((K,)))
+    w_pad = jnp.zeros((plan.Kpad,)).at[:K].set(w)
+    dU = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, w_pad, K=K, ou_beta=ou,
+        interpret=True, testmode=True,
+    )
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], w)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def test_interpret_testmode_fused_solve():
+    dyn, cost, x0, U, sigma = _setup(2, 10, 300)
+    key, lam = jax.random.key(0), jnp.float32(1.1)
+    plan = pr.make_plan(300, 10, 2, testmode=True)
+    eps_ref = pr.fake_noise_tensor(plan, sigma)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=300, testmode=True, interpret=True
+    )
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :300, :])
+    np.testing.assert_allclose(np.asarray(Sf[:300]), np.asarray(S_oracle), rtol=3e-5)
+    sm = softmin_weights(Sf, lam)
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :300, :], sm.weights[:300])
+    np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
