@@ -159,10 +159,13 @@ def mppi_solve(
     rollout_backend: str = "scan",
     antithetic: bool = False,
     ou_beta: float = 0.0,
+    testmode: bool = False,
 ) -> SolveResult:
     """One full MPPI solve: sample ε, roll out K trajectories over T, softmin
     update, clamp, shift. Pure and jittable; `K` is per-shard when running
-    under `shard_map` with `axis_name` set."""
+    under `shard_map` with `axis_name` set. `testmode` (pallas backends only)
+    swaps the on-chip PRNG for the deterministic host-replicable pseudo-noise
+    so the full kernel math is verifiable on CPU."""
     T, a = U.shape
     if rollout_backend == "scan":
         eps = sample_noise(key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta)
@@ -174,6 +177,7 @@ def mppi_solve(
             K=K, clamp=clamp, axis_name=axis_name, antithetic=antithetic,
             ou_beta=ou_beta,
             interpret=rollout_backend == "pallas-interpret",
+            testmode=testmode,
         )
     raise ValueError(f"unknown rollout backend '{rollout_backend}'")
 
@@ -194,6 +198,7 @@ def pallas_solve(
     antithetic: bool = False,
     ou_beta: float = 0.0,
     interpret: bool = False,
+    testmode: bool = False,
 ) -> SolveResult:
     """Fused-kernel MPPI solve: the (T, K, a) noise tensor never exists in
     HBM. Kernel A rolls out and returns only costs; the softmin runs in XLA
@@ -209,22 +214,25 @@ def pallas_solve(
         # DCE away when the caller only consumes action/u_next.
         S_pad, dU = pr.pallas_fused_solve_core(
             dyn, cost, x0, U, key, sigma, lambda_,
-            K=K, antithetic=antithetic, ou_beta=ou_beta,
+            K=K, antithetic=antithetic, ou_beta=ou_beta, testmode=testmode,
         )
         sm = softmin_weights(S_pad, lambda_)
     else:
-        plan = pr.make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta)
+        plan = pr.make_plan(
+            K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
+            family=pr.family_for(dyn, cost),
+        )
         packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
         S_pad = pr.pallas_rollout_costs(
             dyn, cost, x0, U, key, sigma, K=K, antithetic=antithetic,
-            ou_beta=ou_beta, interpret=interpret, packed=packed,
+            ou_beta=ou_beta, interpret=interpret, packed=packed, testmode=testmode,
         )
         # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to
         # exactly 0, so they drop out of η and ΔU without any masking here.
         sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
         dU = pr.pallas_weighted_update(
             dyn, cost, x0, U, key, sigma, sm.weights, K=K, antithetic=antithetic,
-            ou_beta=ou_beta, interpret=interpret, packed=packed,
+            ou_beta=ou_beta, interpret=interpret, packed=packed, testmode=testmode,
         )
         if axis_name is not None:
             dU = jax.lax.psum(dU, axis_name)
@@ -244,8 +252,9 @@ def pallas_solve(
 def resolve_backend(
     requested: str, dyn: Dynamics, cost: Cost, *, platform: str | None = None
 ) -> str:
-    """'auto' → the fused Pallas kernels on TPU when the model/cost pair is
-    fusable (LTI + quadratic), else the generic XLA scan path."""
+    """'auto' → the fused Pallas kernels on TPU when some fused family covers
+    the (model, cost) pair (LTI+quadratic, pendulum+swing-up — see
+    ops.pallas_rollout.FAMILIES), else the generic XLA scan path."""
     if requested != "auto":
         return requested
     from mppi_gpu_tpu.ops import pallas_rollout as pr
@@ -278,6 +287,7 @@ class MPPIController:
         *,
         rollout_backend: str = "auto",
         donate_u: bool = False,
+        testmode: bool = False,
     ) -> None:
         from mppi_gpu_tpu.models import dynamics_for_config
 
@@ -289,6 +299,7 @@ class MPPIController:
         self.max_a = jnp.asarray(cfg.max_a, jnp.float32)
         rollout_backend = resolve_backend(rollout_backend, self.dynamics, self.cost)
         self.rollout_backend = rollout_backend
+        self._testmode = testmode
 
         solve = partial(
             mppi_solve,
@@ -297,6 +308,7 @@ class MPPIController:
             rollout_backend=rollout_backend,
             antithetic=cfg.antithetic,
             ou_beta=cfg.noise_beta,
+            testmode=testmode,
         )
         donate = (3,) if donate_u else ()  # donate U's buffer (dyn, cost, x0, U, key,...)
         self._solve = jax.jit(solve, donate_argnums=donate)
@@ -345,15 +357,40 @@ class MPPIController:
         src/main.cu:90-156 `to_csv2`). Compiled separately so the hot path
         never pays for the (T+1, K, s) state history.
 
-        Always samples via the scan/threefry path: given the same key this
-        reproduces a scan-backend solve exactly, but for the pallas backend
-        (on-chip PRNG) it is a different — equivalent-in-distribution —
-        noise stream than the executed solve."""
+        FAITHFUL on every backend: for the scan backend the threefry noise
+        reproduces `solve` exactly; for the pallas backends the solve runs
+        through the SAME kernels as the hot path and the noise-dump kernel
+        (ops.pallas_rollout.pallas_noise_dump) replays the identical on-chip
+        PRNG stream those kernels consumed — the analog of the reference's
+        bit-faithful ε buffer round-trip (src/point_mass_gpu.cu:123-129)."""
         if not hasattr(self, "_solve_debug"):
             from mppi_gpu_tpu.ops.rollout import rollout_trajectories
 
+            backend = self.rollout_backend
+            pallas = backend in ("pallas", "pallas-interpret")
+            testmode = getattr(self, "_testmode", False)
+
             def dbg(dyn, cost, x, U, key, sigma, lambda_, max_a):
                 T, a = U.shape
+                if pallas:
+                    from mppi_gpu_tpu.ops import pallas_rollout as pr
+
+                    res = mppi_solve(
+                        dyn, cost, x, U, key, sigma, lambda_, max_a,
+                        K=self.cfg.samples, clamp=self.cfg.clamp_action,
+                        rollout_backend=backend,
+                        antithetic=self.cfg.antithetic,
+                        ou_beta=self.cfg.noise_beta, testmode=testmode,
+                    )
+                    eps = pr.pallas_noise_dump(
+                        dyn, cost, x, U, key, sigma, K=self.cfg.samples,
+                        antithetic=self.cfg.antithetic,
+                        ou_beta=self.cfg.noise_beta,
+                        interpret=backend == "pallas-interpret",
+                        testmode=testmode,
+                    )
+                    _, xs = rollout_trajectories(dyn, cost, x, U, eps)
+                    return res, eps, xs
                 eps = sample_noise(
                     key, T, self.cfg.samples, a, sigma,
                     antithetic=self.cfg.antithetic,

@@ -55,12 +55,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mppi_gpu_tpu.models.point_mass import PointMassLTI
 from mppi_gpu_tpu.ops.cost import QuadraticCost
 
 SUB = 8        # f32 sublane tile
 LANE = 128     # lane tile
 BIG = 3.0e38   # finite "infinity" for padded rollouts (inlined literal)
+
+# Interpreter config for the off-TPU (CPU) test path. Eager DMA execution:
+# the default deferred ("on_wait") mode intermittently livelocks inside the
+# interpreter's store callbacks when 8 shard_map device threads interpret
+# kernels concurrently (observed under tests/_sharded_pallas_check.py).
+_INTERPRET = pltpu.InterpretParams(dma_execution_mode="eager")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -95,7 +100,11 @@ class PallasPlan(NamedTuple):
     ou: bool = False     # OU noise recursion enabled (static: β=0 compiles it out)
     testmode: bool = False  # deterministic pseudo-noise instead of the PRNG:
                             # full-kernel verification on CPU (the Mosaic
-                            # interpreter stubs prng_random_bits to zeros)
+                            # interpreter stubs prng_random_bits to zeros).
+                            # The pseudo-noise folds in the seed words, so
+                            # distinct keys (e.g. per-shard folded keys under
+                            # a mesh) still decorrelate.
+    family: str = "lti"     # fused (dynamics, cost) family — see FAMILIES
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -108,21 +117,21 @@ class PallasPlan(NamedTuple):
 
 def make_plan(
     K: int, T: int, action_dim: int, antithetic: bool = False, ou_beta: float = 0.0,
-    testmode: bool = False,
+    testmode: bool = False, family: str = "lti",
 ) -> PallasPlan:
     if not 1 <= action_dim <= SUB:
         raise ValueError(f"pallas backend supports 1<=action_dim<={SUB}, got {action_dim}")
     if antithetic and K % 2 != 0:
         raise ValueError(f"antithetic sampling needs even K, got {K}")
+    if family not in FAMILIES:
+        raise ValueError(f"unknown fused family '{family}'; known: {sorted(FAMILIES)}")
     G = SUB // action_dim
     KB = _pick_kb(_round_up(K, G) // G, antithetic)
     Kpg = _round_up(_round_up(K, G) // G, KB)
-    if testmode and antithetic:
-        raise ValueError("testmode covers anti=False only (mirroring is tested separately)")
     return PallasPlan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
         Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
-        testmode=testmode,
+        testmode=testmode, family=family,
     )
 
 
@@ -144,43 +153,56 @@ def _standard_normal(shape: tuple[int, int]) -> jax.Array:
     return jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=1)
 
 
-def _sample_eps(sigma, KB: int, anti: bool) -> jax.Array:
-    """(SUB, KB) noise tile. With `anti`, the upper KB/2 lanes mirror the
-    lower half (ε, −ε pairs): variance reduction + half the PRNG work."""
-    if anti:
-        n = _standard_normal((SUB, KB // 2))
-        n = jnp.concatenate([n, -n], axis=1)
-    else:
-        n = _standard_normal((SUB, KB))
-    return sigma * n
-
-
-def _fake_normal(t, tile, KB: int):
+def _fake_normal(t, tile, KB: int, sid):
     """Deterministic pseudo-noise for testmode: a smooth function of
-    (t, tile, row, lane) that the host can replicate exactly
+    (t, tile, row, lane, seed) that the host can replicate exactly
     (:func:`fake_noise_tensor`), giving full-kernel verification where the
-    interpreter's PRNG is stubbed."""
+    interpreter's PRNG is stubbed. `sid` is the seed-derived stream id, so
+    distinct keys (e.g. per-shard folded keys) give distinct noise."""
     row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 1).astype(jnp.float32)
-    tf = jnp.float32(t) if not isinstance(t, (int, float)) else jnp.float32(t)
-    return jnp.sin(0.917 * tf + 0.379 * lane + 1.37 * row + 2.11 * jnp.float32(tile))
+    return jnp.sin(
+        0.917 * jnp.float32(t) + 0.379 * lane + 1.37 * row
+        + 2.11 * jnp.float32(tile) + 0.547 * sid
+    )
 
 
-def fake_noise_tensor(plan: PallasPlan, sigma, ou_beta: float = 0.0) -> jax.Array:
+def _seed_stream_id(key: jax.Array) -> jax.Array:
+    """f32 stream id the testmode noise folds in — must match the kernels'
+    `ints_ref[0,0] & 1023` on the packed seed word (see :func:`pack_inputs`)."""
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    seed0 = jax.lax.bitcast_convert_type(kd[:2], jnp.int32)[0]
+    return (seed0 & jnp.int32(1023)).astype(jnp.float32)
+
+
+def fake_noise_tensor(
+    plan: PallasPlan, sigma, ou_beta: float = 0.0, key: jax.Array | None = None
+) -> jax.Array:
     """Host twin of the kernels' testmode noise: (T, Kpad, A) epsilon tensor
-    in ROLLOUT-RANK order, with the OU recursion applied identically. Feed it
-    to the scan-path oracle to verify kernel output exactly."""
-    assert plan.testmode and not plan.anti
+    in ROLLOUT-RANK order, with the OU recursion and antithetic mirroring
+    applied identically. Feed it to the scan-path oracle to verify kernel
+    output exactly. `key` must match the key handed to the kernels (defaults
+    to `jax.random.key(0)`)."""
+    assert plan.testmode
     T, A, G, KB, Kpg = plan.T, plan.A, plan.G, plan.KB, plan.Kpg
-    k = jnp.arange(plan.Kpad)
+    sid = _seed_stream_id(key if key is not None else jax.random.key(0))
+    # rank r lives at flat lane index perm[r] (identity without antithetic)
+    k = anti_rank_perm(plan) if plan.anti else jnp.arange(plan.Kpad)
     g, rem = k // Kpg, k % Kpg
     tile, lane = rem // KB, rem % KB
+    if plan.anti:
+        half = KB // 2
+        sign = jnp.where(lane < half, 1.0, -1.0)
+        lane = jnp.where(lane < half, lane, lane - half)
+    else:
+        sign = jnp.ones_like(lane, jnp.float32)
     row = g[:, None] * A + jnp.arange(A)[None, :]            # (Kpad, A)
     t = jnp.arange(T, dtype=jnp.float32)[:, None, None]
-    n = jnp.sin(
+    n = sign[None, :, None] * jnp.sin(
         0.917 * t + 0.379 * lane[None, :, None].astype(jnp.float32)
         + 1.37 * row[None, :, :].astype(jnp.float32)
         + 2.11 * tile[None, :, None].astype(jnp.float32)
+        + 0.547 * sid
     )                                                         # (T, Kpad, A)
     if ou_beta:
         c = (1.0 - ou_beta**2) ** 0.5
@@ -194,14 +216,18 @@ def fake_noise_tensor(plan: PallasPlan, sigma, ou_beta: float = 0.0) -> jax.Arra
     return jnp.broadcast_to(sigma, (A,)) * n
 
 
-def _next_eps(t, e_prev, sigma, scal_ref, KB: int, anti: bool, ou: bool, tile=0, testmode: bool = False):
+def _next_eps(t, e_prev, sigma, scal_ref, KB: int, anti: bool, ou: bool, tile=0, testmode: bool = False, sid=None):
     """One step of the unit-variance OU noise process:
     e_t = β e_{t−1} + √(1−β²) ν_t, primed with e_0 = ν_0. Returns
     (ε_t = σ·e_t, e_t). The recursion is deterministic given the PRNG
     stream, so kernels A and B replay identical correlated noise. `ou` is
     STATIC: the iid (β=0) kernels carry no recursion ops at all."""
     if testmode:
-        n = _fake_normal(t, tile, KB)
+        if anti:
+            n = _fake_normal(t, tile, KB // 2, sid)
+            n = jnp.concatenate([n, -n], axis=1)
+        else:
+            n = _fake_normal(t, tile, KB, sid)
     elif anti:
         n = _standard_normal((SUB, KB // 2))
         n = jnp.concatenate([n, -n], axis=1)
@@ -255,49 +281,218 @@ def _seed(ints_ref, i):
     pltpu.prng_seed(ints_ref[0, 0] + i * jnp.int32(-1640531527), ints_ref[0, 1])
 
 
-# Parameter-pack column indices for the (SUB, 8) P matrix. Every column is
-# already group-tiled: row g*A+i holds the value for action/state dim i.
-_P_WQ, _P_WQD, _P_GQ, _P_GQD, _P_SIGMA, _P_INVS, _P_X0Q, _P_X0QD = range(8)
+def _kernel_sid(ints_ref, plan: PallasPlan):
+    """Testmode stream id from the packed seed word (host twin:
+    :func:`_seed_stream_id`); None outside testmode so the real-PRNG kernels
+    carry no extra ops."""
+    if not plan.testmode:
+        return None
+    return (ints_ref[0, 0] & jnp.int32(1023)).astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Fused (dynamics, cost) families.
+#
+# The kernels are generic over a "family": the noise machinery, the one-hot
+# U extraction, the K-masking, the per-group sublane reduction, the softmin
+# and the weighted update are all shared; a family contributes only the
+# per-step state integration + state-cost tile math (pure VPU ops on
+# (SUB, KB) tiles, rows = packed rollout groups) and its parameter packing.
+# This is the TPU equivalent of the reference's rollout kernel being generic
+# over the device model (reference src/point_mass.cu:493-508 templating on
+# PointMassModelGpu).
+#
+# Common P-matrix columns (every family): 0 = noise σ, 1 = Σ⁻¹ diagonal.
+# Columns are group-tiled: row g*A+i holds the value for action dim i.
+_P_SIGMA, _P_INVS = 0, 1
+
+
+class _LTIQuadFamily:
+    """Analytic LTI double-integrator + quadratic cost — the reference's own
+    model (src/point_mass_gpu.cu:97-106, src/cost.cu:42-64). State (q, qd),
+    each A dims → rows g*A+i of two (SUB, KB) register tiles."""
+
+    name = "lti"
+    NP = 8  # P columns: sigma, inv_s, wq, wqd, gq, gqd, x0q, x0qd
+    _WQ, _WQD, _GQ, _GQD, _X0Q, _X0QD = 2, 3, 4, 5, 6, 7
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.point_mass import PointMassLTI
+
+        return isinstance(dyn, PointMassLTI) and type(cost) is QuadraticCost
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        A = plan.A
+        w, g = cost.w.astype(jnp.float32), cost.goal.astype(jnp.float32)
+        x0 = jnp.broadcast_to(x0, (2 * A,)).astype(jnp.float32)
+        return jnp.stack(
+            [
+                tileA(sigma), tileA(cost.inv_s),
+                tileA(w[:A]), tileA(w[A:]),      # state-cost diag (q, qd)
+                tileA(g[:A]), tileA(g[A:]),      # goal (q, qd)
+                tileA(x0[:A]), tileA(x0[A:]),    # initial state (q, qd)
+            ],
+            axis=1,
+        )  # (SUB, NP)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, KB: int):
+        """(carry0, step, final) closures on (SUB, KB) tiles. `step` returns
+        the state-cost increment evaluated on x_{t+1} (reference
+        src/point_mass_gpu.cu:107); the generic phase adds the λ·uᵀΣ⁻¹ε
+        control term."""
+        dt = scal_ref[0, 0]
+        hdt2 = 0.5 * dt * dt
+        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
+        wq, wqd = col(cls._WQ), col(cls._WQD)
+        gq, gqd = col(cls._GQ), col(cls._GQD)
+
+        def state_cost(q, qd):
+            dq, dqd = q - gq, qd - gqd
+            return wq * dq * dq + wqd * dqd * dqd
+
+        def carry0():
+            return (
+                jnp.broadcast_to(col(cls._X0Q), (SUB, KB)),
+                jnp.broadcast_to(col(cls._X0QD), (SUB, KB)),
+            )
+
+        def step(state, u_eff):
+            q, qd = state
+            # LTI point-mass integrate (reference src/point_mass_gpu.cu:97-106)
+            q = q + dt * qd + hdt2 * u_eff
+            qd = qd + dt * u_eff
+            return (q, qd), state_cost(q, qd)
+
+        def final(state):
+            # terminal cost re-counts the final state (reference parity: the
+            # last step cost already included x_T and final_cost adds it
+            # again — src/cost.cu:57-64)
+            return state_cost(*state)
+
+        return carry0, step, final
+
+
+class _PendulumFamily:
+    """Torque-limited pendulum swing-up: RK2-midpoint integration of
+    θ̈ = (g/l)·sin θ + u/(m l²) − b·θ̇ with the wrap-safe trig cost
+    w_angle·(1−cos θ) + w_vel·θ̇² (models/pendulum.py, ops/cost.py
+    PendulumSwingupCost). First nonlinear fused family: sin/cos are single
+    VPU transcendentals, state (θ, θ̇) packs A=1 → 8 groups per tile."""
+
+    name = "pendulum"
+    NP = 9  # sigma, inv_s, w_angle, w_vel, x0_th, x0_thd, g/l, 1/(m l²), b
+    _WANG, _WVEL, _X0TH, _X0THD, _GL, _IML2, _DAMP = 2, 3, 4, 5, 6, 7, 8
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.pendulum import PendulumDynamics
+        from mppi_gpu_tpu.ops.cost import PendulumSwingupCost
+
+        return isinstance(dyn, PendulumDynamics) and type(cost) is PendulumSwingupCost
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        x0 = jnp.broadcast_to(x0, (2,)).astype(jnp.float32)
+        gl = dyn.gravity / dyn.length
+        iml2 = 1.0 / (dyn.mass * dyn.length**2)
+        return jnp.stack(
+            [
+                tileA(sigma), tileA(cost.inv_s),
+                tileA(cost.w_angle), tileA(cost.w_vel),
+                tileA(x0[0]), tileA(x0[1]),
+                tileA(gl), tileA(iml2), tileA(dyn.damping),
+            ],
+            axis=1,
+        )  # (SUB, NP)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, KB: int):
+        dt = scal_ref[0, 0]
+        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
+        w_ang, w_vel = col(cls._WANG), col(cls._WVEL)
+        gl, iml2, damp = col(cls._GL), col(cls._IML2), col(cls._DAMP)
+
+        def accel(th, thd, u):
+            return gl * jnp.sin(th) + iml2 * u - damp * thd
+
+        def state_cost(th, thd):
+            return w_ang * (1.0 - jnp.cos(th)) + w_vel * thd * thd
+
+        def carry0():
+            return (
+                jnp.broadcast_to(col(cls._X0TH), (SUB, KB)),
+                jnp.broadcast_to(col(cls._X0THD), (SUB, KB)),
+            )
+
+        def step(state, u_eff):
+            th, thd = state
+            # RK2 midpoint — must mirror PendulumDynamics.step exactly
+            k1_th, k1_thd = thd, accel(th, thd, u_eff)
+            th_m = th + 0.5 * dt * k1_th
+            thd_m = thd + 0.5 * dt * k1_thd
+            k2_th, k2_thd = thd_m, accel(th_m, thd_m, u_eff)
+            th = th + dt * k2_th
+            thd = thd + dt * k2_thd
+            return (th, thd), state_cost(th, thd)
+
+        def final(state):
+            return state_cost(*state)
+
+        return carry0, step, final
+
+
+FAMILIES = {f.name: f for f in (_LTIQuadFamily, _PendulumFamily)}
+
+
+def family_for(dyn, cost) -> str:
+    """Fused-family name for a (dynamics, cost) pair, or TypeError — the
+    dispatch behind the 'auto' backend resolution."""
+    for fam in FAMILIES.values():
+        if fam.supports(dyn, cost):
+            return fam.name
+    raise TypeError(
+        "pallas rollout backend fuses "
+        + ", ".join(f"({f.name})" for f in FAMILIES.values())
+        + f"; got ({type(dyn).__name__}, {type(cost).__name__}) — use "
+        "rollout_backend='scan' for custom models"
+    )
 
 
 def _rollout_phase_S(tile_i, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan):
     """Seed tile `tile_i`'s PRNG stream, roll out its G·KB rollouts over T,
     and return the K-masked (G, KB) cost tile. The SINGLE implementation of
     the rollout-cost phase, shared by kernel A and the fused kernel — the
-    two execution modes must stay bit-identical."""
+    two execution modes must stay bit-identical. Generic over the fused
+    family (plan.family): the family supplies the state integration and
+    state-cost tile math; everything else is shared."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
+    fam = FAMILIES[plan.family]
     _seed(ints_ref, tile_i)
-    dt, lam = scal_ref[0, 0], scal_ref[0, 1]
-    hdt2 = 0.5 * dt * dt
+    lam = scal_ref[0, 1]
     u_all = u_ref[:, :]
-    wq, wqd = p_ref[:, _P_WQ:_P_WQ + 1], p_ref[:, _P_WQD:_P_WQD + 1]
-    gq, gqd = p_ref[:, _P_GQ:_P_GQ + 1], p_ref[:, _P_GQD:_P_GQD + 1]
     sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
     lam_invs = lam * p_ref[:, _P_INVS:_P_INVS + 1]
-    q0 = jnp.broadcast_to(p_ref[:, _P_X0Q:_P_X0Q + 1], (SUB, KB))
-    qd0 = jnp.broadcast_to(p_ref[:, _P_X0QD:_P_X0QD + 1], (SUB, KB))
+    carry0, fam_step, fam_final = fam.build(p_ref, scal_ref, KB)
+    sid = _kernel_sid(ints_ref, plan)
 
     def body(t, carry):
-        q, qd, acc, e_prev = carry
-        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode)
+        state, acc, e_prev = carry
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode, sid)
         u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
         u_b = jnp.broadcast_to(u_t, (SUB, KB))
-        u_eff = u_b + eps
-        # LTI point-mass integrate (reference src/point_mass_gpu.cu:97-106)
-        q = q + dt * qd + hdt2 * u_eff
-        qd = qd + dt * u_eff
-        # quadratic step cost on x_{t+1} (reference src/cost.cu:42-55),
-        # accumulated ELEMENTWISE — per-group reduction deferred to phase end
-        dq, dqd = q - gq, qd - gqd
-        acc = acc + (lam_invs * u_b) * eps + wq * dq * dq + wqd * dqd * dqd
-        return q, qd, acc, e_prev
+        state, c_state = fam_step(state, u_b + eps)
+        # step cost on x_{t+1}: state part from the family + the generic
+        # λ·uᵀΣ⁻¹ε control term, accumulated ELEMENTWISE — the per-group
+        # sublane reduction is deferred to phase end
+        acc = acc + (lam_invs * u_b) * eps + c_state
+        return state, acc, e_prev
 
     zero = jnp.zeros((SUB, KB), jnp.float32)
-    q, qd, acc, _ = jax.lax.fori_loop(0, plan.T, body, (q0, qd0, zero, zero))
-    # terminal cost re-counts the final state (reference parity: the last step
-    # cost already included x_T, and final_cost adds it again — src/cost.cu:57-64)
-    dq, dqd = q - gq, qd - gqd
-    acc = acc + wq * dq * dq + wqd * dqd * dqd
+    state, acc, _ = jax.lax.fori_loop(0, plan.T, body, (carry0(), zero, zero))
+    acc = acc + fam_final(state)
     # per-group sublane reduction: S_g = Σ_{rows g*A..g*A+A-1} acc
     S = jnp.concatenate(
         [jnp.sum(acc[g * A:(g + 1) * A], axis=0, keepdims=True) for g in range(G)],
@@ -323,9 +518,11 @@ def _update_phase_acc(tile_i, w_tile, ints_ref, scal_ref, u_ref, p_ref, plan: Pa
         axis=0,
     )  # (SUB, KB)
 
+    sid = _kernel_sid(ints_ref, plan)
+
     def body(t, carry):
         acc, e_prev = carry
-        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode)
+        eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode, sid)
         col = jnp.sum(w_exp * eps, axis=1, keepdims=True)  # (SUB, 1)
         # fold groups: dU_t[i] = Σ_g col[g*A + i]
         fold = col[0:A]
@@ -346,7 +543,7 @@ def _rollout_cost_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad): nominal U — group-tiled rows, transposed
-    p_ref,      # VMEM (SUB, 8): parameter pack (see _P_* columns)
+    p_ref,      # VMEM (SUB, NP): family parameter pack (see FAMILIES)
     s_ref,      # out VMEM (G, KB): per-rollout total cost, rows = groups
     *, plan: PallasPlan,
 ):
@@ -359,7 +556,7 @@ def _weighted_update_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad)
-    p_ref,      # VMEM (SUB, 8)
+    p_ref,      # VMEM (SUB, NP)
     w_ref,      # VMEM (G, KB): softmin weights for this tile, rows = groups
     du_ref,     # out VMEM (SUB, Tpad): ΔU accumulated over all tiles
     *, plan: PallasPlan,
@@ -376,8 +573,8 @@ def _weighted_update_kernel(
 
 
 def pack_inputs(
-    dyn: PointMassLTI,
-    cost: QuadraticCost,
+    dyn,          # dynamics of a registered fused family (see FAMILIES)
+    cost,         # matching cost of that family,
     x0: jax.Array,
     U: jax.Array,
     key: jax.Array,
@@ -388,7 +585,8 @@ def pack_inputs(
 ):
     """Host-side (traced) packing of the tiny per-solve inputs, shared by both
     kernels — call once per solve. All per-dim
-    vectors are group-tiled: row g*A+i = value for dim i, any group g."""
+    vectors are group-tiled: row g*A+i = value for dim i, any group g.
+    The P matrix layout is family-specific (see FAMILIES)."""
     A, G, T, Tpad = plan.A, plan.G, plan.T, plan.Tpad
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
     seeds = jax.lax.bitcast_convert_type(kd[:2], jnp.int32)
@@ -412,24 +610,13 @@ def pack_inputs(
         v = jnp.broadcast_to(v, (A,)).astype(jnp.float32)
         return jnp.zeros((SUB,), jnp.float32).at[: G * A].set(jnp.tile(v, G))
 
-    w, g = cost.w.astype(jnp.float32), cost.goal.astype(jnp.float32)
-    x0 = jnp.broadcast_to(x0, (2 * A,)).astype(jnp.float32)
-    p = jnp.stack(
-        [
-            tileA(w[:A]), tileA(w[A:]),      # state-cost diag (q, qd)
-            tileA(g[:A]), tileA(g[A:]),      # goal (q, qd)
-            tileA(sigma),                    # noise σ
-            tileA(cost.inv_s),               # Σ⁻¹ diagonal
-            tileA(x0[:A]), tileA(x0[A:]),    # initial state (q, qd)
-        ],
-        axis=1,
-    )  # (SUB, 8)
+    p = FAMILIES[plan.family].pack(dyn, cost, x0, sigma, plan, tileA)
     return ints, scal, u_tile, p
 
 
 def pallas_rollout_costs(
-    dyn: PointMassLTI,
-    cost: QuadraticCost,
+    dyn,          # dynamics of a registered fused family (see FAMILIES)
+    cost,         # matching cost of that family,
     x0: jax.Array,
     U: jax.Array,
     key: jax.Array,
@@ -447,11 +634,15 @@ def pallas_rollout_costs(
     deterministically with :func:`pallas_weighted_update` (same key).
     Pass `packed` (from :func:`pack_inputs`) to share packing across both
     kernels of one solve."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode)
+    plan = make_plan(
+        K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
+        family=family_for(dyn, cost),
+    )
     ints, scal, u_tile, p = (
         packed if packed is not None
         else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     )
+    NP = FAMILIES[plan.family].NP
     S = pl.pallas_call(
         functools.partial(_rollout_cost_kernel, plan=plan),
         grid=(plan.grid,),
@@ -459,12 +650,12 @@ def pallas_rollout_costs(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, NP), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((plan.G, plan.Kpg), jnp.float32),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=_INTERPRET if interpret else False,
     )(ints, scal, u_tile, p)
     S = S.reshape(plan.Kpad)
     if plan.anti:
@@ -473,8 +664,8 @@ def pallas_rollout_costs(
 
 
 def pallas_weighted_update(
-    dyn: PointMassLTI,
-    cost: QuadraticCost,
+    dyn,          # dynamics of a registered fused family (see FAMILIES)
+    cost,         # matching cost of that family,
     x0: jax.Array,
     U: jax.Array,
     key: jax.Array,
@@ -492,11 +683,15 @@ def pallas_weighted_update(
     This is the reference's `update_act` T-loop of reduction ladders
     (src/point_mass.cu:384-480) as one single-launch kernel with zero HBM
     traffic for ε."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode)
+    plan = make_plan(
+        K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
+        family=family_for(dyn, cost),
+    )
     ints, scal, u_tile, p = (
         packed if packed is not None
         else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     )
+    NP = FAMILIES[plan.family].NP
     dU_call = pl.pallas_call(
         functools.partial(_weighted_update_kernel, plan=plan),
         grid=(plan.grid,),
@@ -504,7 +699,7 @@ def pallas_weighted_update(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, NP), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -512,7 +707,7 @@ def pallas_weighted_update(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # sequential: accumulates du_ref
         ),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=_INTERPRET if interpret else False,
     )
     if plan.anti:
         # weights arrive rank-ordered (matching pallas_rollout_costs' S);
@@ -524,23 +719,107 @@ def pallas_weighted_update(
 
 
 def check_supported(dyn, cost) -> None:
-    if not isinstance(dyn, PointMassLTI):
-        raise TypeError(
-            "pallas rollout backend fuses the analytic LTI point-mass dynamics; "
-            f"got {type(dyn).__name__} — use rollout_backend='scan' for custom models"
-        )
-    if not isinstance(cost, QuadraticCost):
-        raise TypeError(
-            "pallas rollout backend fuses the quadratic cost; got "
-            f"{type(cost).__name__} — use rollout_backend='scan'"
-        )
+    """Raise TypeError unless some fused family covers (dyn, cost)."""
+    family_for(dyn, cost)
+
+
+def _noise_dump_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
+    u_ref,      # VMEM (SUB, Tpad) — unused; kept so all kernels share packing
+    p_ref,      # VMEM (SUB, NP)
+    e_ref,      # out VMEM (1, SUB, KB): this (tile, t)'s noise block
+    ep_scr,     # VMEM scratch (SUB, KB): OU e_{t−1} carried across t-steps
+    *, plan: PallasPlan,
+):
+    """Kernel D (debug dump): write the EXECUTED noise stream to HBM.
+
+    Grid is (tiles, T) with t iterating fastest; the PRNG is seeded only at
+    t == 0 exactly as kernels A/B seed once per tile, so the hardware PRNG
+    state carries across the T grid steps and replays the identical ε
+    sequence the solve consumed — this is the TPU analog of the reference's
+    `save_e` ε round-trip (reference src/point_mass_gpu.cu:123-129), made
+    opt-in so the hot path never pays the (T, K, a) HBM traffic."""
+    del u_ref
+    i, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        _seed(ints_ref, i)
+        ep_scr[:, :] = jnp.zeros_like(ep_scr)
+
+    sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
+    sid = _kernel_sid(ints_ref, plan)
+    eps, e_prev = _next_eps(
+        t, ep_scr[:, :], sigma, scal_ref, plan.KB, plan.anti, plan.ou, i,
+        plan.testmode, sid,
+    )
+    if plan.ou:
+        ep_scr[:, :] = e_prev
+    e_ref[0, :, :] = eps
+
+
+def pallas_noise_dump(
+    dyn,
+    cost,
+    x0: jax.Array,
+    U: jax.Array,
+    key: jax.Array,
+    sigma: jax.Array,
+    *,
+    K: int,
+    antithetic: bool = False,
+    ou_beta: float = 0.0,
+    interpret: bool = False,
+    testmode: bool = False,
+) -> jax.Array:
+    """The (T, K, a) noise tensor the fused kernels generated for `key`, in
+    ROLLOUT-RANK order — bit-identical to the stream kernels A/B consumed.
+    Debug/dump path only (the reference always materializes ε,
+    src/point_mass.cu:63; here it is opt-in)."""
+    plan = make_plan(
+        K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
+        family=family_for(dyn, cost),
+    )
+    ints, scal, u_tile, p = pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
+    NP = FAMILIES[plan.family].NP
+    e = pl.pallas_call(
+        functools.partial(_noise_dump_kernel, plan=plan),
+        grid=(plan.grid, plan.T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((SUB, plan.Tpad), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, NP), lambda i, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUB, plan.KB), lambda i, t: (t, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((plan.T, SUB, plan.Kpg), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((SUB, plan.KB), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),  # sequential: PRNG state
+        ),
+        interpret=_INTERPRET if interpret else False,
+    )(ints, scal, u_tile, p)
+    # (T, SUB, Kpg) -> (T, Kpad, A): rollout k = g*Kpg + tile*KB + lane lives
+    # at rows g*A..g*A+A-1, flat lane tile*KB+lane (the kernels' indexing
+    # convention — see module docstring)
+    A, G = plan.A, plan.G
+    parts = [
+        jnp.swapaxes(e[:, g * A:(g + 1) * A, :], 1, 2) for g in range(G)
+    ]  # each (T, Kpg, A)
+    eps = jnp.concatenate(parts, axis=1)  # (T, G*Kpg, A) in flat-lane order
+    if plan.anti:
+        eps = eps[:, anti_rank_perm(plan), :]  # rank order, pairs adjacent
+    return eps[:, :K, :]
 
 
 def _fused_solve_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad)
-    p_ref,      # VMEM (SUB, 8)
+    p_ref,      # VMEM (SUB, NP)
     s_ref,      # out VMEM (G, KB) blocks: per-rollout costs
     du_ref,     # out VMEM (SUB, Tpad): ΔU
     sw_scr,     # VMEM scratch (G, Kpg): S during phase A, softmin w after
@@ -611,8 +890,8 @@ def _fused_solve_kernel(
 
 
 def pallas_fused_solve_core(
-    dyn: PointMassLTI,
-    cost: QuadraticCost,
+    dyn,          # dynamics of a registered fused family (see FAMILIES)
+    cost,         # matching cost of that family,
     x0: jax.Array,
     U: jax.Array,
     key: jax.Array,
@@ -628,7 +907,10 @@ def pallas_fused_solve_core(
     """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
     no XLA ops or dispatch between the rollout, softmin, and update phases.
     λ is read from the packed scalars (cost.lambda_). Single-chip path only."""
-    plan = make_plan(K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode)
+    plan = make_plan(
+        K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
+        family=family_for(dyn, cost),
+    )
     ints, scal, u_tile, p = pack_inputs(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
     )
@@ -640,7 +922,7 @@ def pallas_fused_solve_core(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, FAMILIES[plan.family].NP), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             # phase-A tiles write their block; later phases keep re-flushing
@@ -661,7 +943,7 @@ def pallas_fused_solve_core(
             pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
-        interpret=pltpu.InterpretParams() if interpret else False,
+        interpret=_INTERPRET if interpret else False,
     )(ints, scal, u_tile, p)
     S = S.reshape(plan.Kpad)
     if plan.anti:

@@ -53,6 +53,7 @@ def sharded_mppi_solve(
     rollout_backend: str = "scan",
     antithetic: bool = False,
     ou_beta: float = 0.0,
+    testmode: bool = False,
 ) -> SolveResult:
     """One MPPI solve with K rollouts sharded over `mesh`'s `axis_name` axis.
 
@@ -80,7 +81,7 @@ def sharded_mppi_solve(
             dyn, cost, x0, U, local_key, sigma, lambda_, max_a,
             K=k_loc, clamp=clamp, axis_name=axis_name,
             rollout_backend=rollout_backend, antithetic=antithetic,
-            ou_beta=ou_beta,
+            ou_beta=ou_beta, testmode=testmode,
         )
 
     out_specs = SolveResult(
@@ -115,11 +116,12 @@ class ShardedMPPIController(MPPIController):
         *,
         mesh: Mesh | None = None,
         rollout_backend: str = "auto",
+        testmode: bool = False,
     ) -> None:
         # base init with the generic backend: its single-device jitted solve
         # is replaced below, so don't resolve 'auto' against the wrong
         # (default) platform here
-        super().__init__(cfg, dynamics, cost, rollout_backend="scan")
+        super().__init__(cfg, dynamics, cost, rollout_backend="scan", testmode=testmode)
         self.mesh = mesh if mesh is not None else make_mesh()
         # resolve the *requested* backend against the mesh's platform (may
         # differ from the default backend, e.g. a forced-CPU virtual mesh)
@@ -139,5 +141,6 @@ class ShardedMPPIController(MPPIController):
             rollout_backend=self.rollout_backend,
             antithetic=cfg.antithetic,
             ou_beta=cfg.noise_beta,
+            testmode=testmode,
         )
         self._solve = jax.jit(solve)
