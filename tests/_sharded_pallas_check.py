@@ -1,0 +1,116 @@
+"""Standalone check: the two-kernel Pallas path under `shard_map` on an
+8-device virtual CPU mesh (testmode + interpreter), verified against the
+single-device deterministic solve fed the exact per-shard pseudo-noise.
+
+Run as a SUBPROCESS by tests/test_sharding.py: the Mosaic interpreter keeps
+process-global simulated-TPU state (shared memory + a threading.Barrier
+sized to the device count), and mixing many single-device interpret calls
+with an 8-device shard_map interpret run in one long pytest process can
+livelock inside the interpreter's store callbacks (observed; resetting
+`reset_tpu_interpret_mode_state` between tests does not clear it). A fresh
+process interprets the sharded kernels reliably — same pattern as the
+real-TPU subprocess check.
+
+One scenario per process (argv[1] = "iid" | "anti"): a SECOND 8-device
+shard_map interpret program in the same process hangs the interpreter with
+high probability (jax 0.9.0), so the pytest wrapper launches one subprocess
+per scenario.
+
+Prints SHARDED_PALLAS_OK on success.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from mppi_gpu_tpu.config import MPPIConfig
+from mppi_gpu_tpu.controller import mppi_solve_deterministic
+from mppi_gpu_tpu.ops import pallas_rollout as pr
+from mppi_gpu_tpu.parallel import ShardedMPPIController, make_mesh
+
+
+def make_cfg(K, T, a, antithetic=False):
+    return MPPIConfig(
+        env="t", samples=K, state_dim=2 * a, action_dim=a, horizon=T, dt=0.1,
+        lambda_=1.0, noise=tuple([0.25] * a), init_act=tuple([0.0] * a),
+        max_a=tuple([1.0] * a), goal=tuple([1.0] * a + [0.0] * a),
+        cost_type="quadratic", cost_w=tuple([1.0] * a + [0.5] * a),
+        antithetic=antithetic,
+    )
+
+
+def check(K, T, a, antithetic, key_seed, x, U):
+    """Sharded pallas-interpret solve vs single-device oracle on the
+    concatenated per-shard pseudo-noise."""
+    n = 8
+    mesh = make_mesh(n)
+    cfg = make_cfg(K, T, a, antithetic)
+    ctrl = ShardedMPPIController(
+        cfg, mesh=mesh, rollout_backend="pallas-interpret", testmode=True
+    )
+    assert ctrl.rollout_backend == "pallas-interpret"
+    key = jax.random.key(key_seed)
+    res = ctrl.solve(x, U, key)
+
+    k_loc = K // n
+    sigma = jnp.asarray(cfg.noise, jnp.float32)
+    plan = pr.make_plan(k_loc, T, a, antithetic=antithetic, testmode=True)
+    eps = jnp.concatenate(
+        [
+            pr.fake_noise_tensor(plan, sigma, key=jax.random.fold_in(key, d))[:, :k_loc, :]
+            for d in range(n)
+        ],
+        axis=1,
+    )  # (T, K, a)
+    ref = mppi_solve_deterministic(
+        ctrl.dynamics, ctrl.cost, x, U, eps, ctrl.lambda_, ctrl.max_a,
+        clamp=cfg.clamp_action,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.info.costs), np.asarray(ref.info.costs), rtol=3e-5
+    )
+    np.testing.assert_allclose(float(res.info.beta), float(ref.info.beta), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res.action), np.asarray(ref.action), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u_next), np.asarray(ref.u_next), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(float(res.info.weights.sum()), 1.0, rtol=1e-5)
+
+
+scenario = sys.argv[1] if len(sys.argv) > 1 else "iid"
+if scenario == "iid":
+    # plain iid noise: per-shard key folding, K-padding masking, the three
+    # collectives between kernels A and B
+    check(
+        8 * 24, 9, 2, False, 11,
+        jnp.asarray([0.3, -0.2, 0.1, 0.0], jnp.float32),
+        0.05 * jnp.ones((9, 2), jnp.float32),
+    )
+elif scenario == "anti":
+    # antithetic: mirror pairs live within each shard; collectives must
+    # still reduce them correctly
+    check(
+        8 * 16, 6, 2, True, 5,
+        jnp.zeros(4, jnp.float32),
+        0.1 * jnp.ones((6, 2), jnp.float32),
+    )
+else:
+    raise SystemExit(f"unknown scenario {scenario!r}")
+
+print("SHARDED_PALLAS_OK")
