@@ -27,6 +27,40 @@ def test_interactive_and_jit_episode_agree():
     np.testing.assert_allclose(res_host.times, res_jit.times, rtol=1e-5)
 
 
+def test_episode_jit_composes_with_sharded():
+    """run_episode_jit x ShardedMPPIController: the whole-episode scan with
+    the sharded solve (shard_map + pmin/psum) inside each cycle, on the
+    8-device virtual mesh — and it must bit-agree with the interactive host
+    loop driving the SAME sharded controller."""
+    from mppi_gpu_tpu.parallel import ShardedMPPIController, make_mesh
+
+    cfg = load_config(CFG).replace(samples=64)
+    n = 8
+    mesh = make_mesh(8)
+    res_host = run_closed_loop(ShardedMPPIController(cfg, mesh=mesh), max_steps=n)
+    res_jit = run_episode_jit(ShardedMPPIController(cfg, mesh=mesh), num_steps=n)
+    assert len(res_host.us) == len(res_jit.us) == n
+    np.testing.assert_allclose(res_host.us, res_jit.us, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res_host.xs[-1], res_jit.xs[-1], rtol=1e-5, atol=1e-6)
+
+
+def test_episode_jit_composes_with_pallas():
+    """run_episode_jit x pallas backend (two-kernel interpret path, testmode
+    noise): the fused-kernel solve inside the episode scan must bit-agree
+    with the interactive loop using the same backend. (On hardware the real
+    fused kernel composes the same way — tests/_pallas_tpu_check.py.)"""
+    cfg = load_config(CFG).replace(samples=64)
+    n = 4
+    mk = lambda: MPPIController(  # noqa: E731
+        cfg, rollout_backend="pallas-interpret", testmode=True
+    )
+    res_host = run_closed_loop(mk(), max_steps=n)
+    res_jit = run_episode_jit(mk(), num_steps=n)
+    assert len(res_host.us) == len(res_jit.us) == n
+    np.testing.assert_allclose(res_host.us, res_jit.us, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res_host.xs[-1], res_jit.xs[-1], rtol=1e-5, atol=1e-6)
+
+
 def test_profiler_trace_writes_files(tmp_path):
     cfg = load_config(CFG)
     logdir = str(tmp_path / "trace")

@@ -1,0 +1,138 @@
+"""Benchmark-scale parity gate: K=10^4, T=200 (SURVEY §7 step 2 verbatim).
+
+The small-scale oracle tests (test_core_math.py) prove the equations; these
+prove the NUMERICS at the scale the headline benchmark actually runs at
+(reference README.md:35 — K=10^4 rollouts x T=200 steps, point_mass3d dims):
+
+  * f32 cost accumulation over T=200 steps stays within tolerance of the
+    float64 oracle across all 10^4 rollouts,
+  * the softmin is well-conditioned at a K=10^4 cost spread (eta does not
+    underflow to a handful of surviving rollouts, weights are normalized),
+  * the Pallas kernel math (testmode pseudo-noise, interpreted on CPU)
+    agrees with the same float64 oracle at the same scale.
+
+Runtime: ~60 s on CPU — the price of the gate the survey demands.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mppi_gpu_tpu.controller import mppi_solve_deterministic, sample_noise
+from mppi_gpu_tpu.models.point_mass import PointMassLTI
+from mppi_gpu_tpu.ops import pallas_rollout as pr
+from mppi_gpu_tpu.ops.cost import QuadraticCost
+from mppi_gpu_tpu.ops.rollout import rollout_costs
+from tests.oracle import oracle_solve
+
+K, T, A = 10_000, 200, 3
+DT = 0.1
+
+
+def _setup():
+    dyn = PointMassLTI.create(DT, A)
+    cost = QuadraticCost(
+        w=jnp.asarray([1.0, 1.0, 1.0, 5.0, 5.0, 5.0]),
+        goal=jnp.asarray([1.0, 0.5, 0.75, 0.0, 0.0, 0.0]),
+        lambda_=jnp.float32(1.0),
+        inv_s=jnp.ones((A,)),
+    )
+    x0 = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0])
+    # a non-trivial nominal sequence so the lam*u*eps control term is live
+    U = 0.2 * jnp.sin(0.05 * jnp.arange(T * A, dtype=jnp.float32)).reshape(T, A)
+    sigma = jnp.full((A,), 0.25)
+    return dyn, cost, x0, U, sigma
+
+
+def _oracle(cost, x0, U, eps):
+    return oracle_solve(
+        np.asarray(x0, np.float64), np.asarray(U, np.float64),
+        np.asarray(eps, np.float64), DT,
+        np.asarray(cost.w, np.float64), np.asarray(cost.goal, np.float64),
+        float(cost.lambda_), np.asarray(cost.inv_s, np.float64),
+        max_a=np.ones(A),
+    )
+
+
+def test_scan_parity_at_benchmark_scale():
+    """Injected-noise deterministic solve, scan backend, full benchmark scale
+    vs the float64 oracle."""
+    dyn, cost, x0, U, sigma = _setup()
+    eps = sample_noise(jax.random.key(0), T, K, A, sigma)
+    res = mppi_solve_deterministic(
+        dyn, cost, x0, U, eps, cost.lambda_, jnp.ones(A), clamp=True
+    )
+    S_o, U_new_o, action_o, U_shift_o, w_o, beta_o, eta_o = _oracle(cost, x0, U, eps)
+
+    S = np.asarray(res.info.costs, np.float64)
+    # f32 accumulation over T=200: relative error must stay tiny across ALL
+    # 10^4 rollouts, not just on average
+    rel = np.abs(S - S_o) / np.abs(S_o)
+    assert rel.max() < 2e-4, f"worst S relative error {rel.max():.2e}"
+
+    np.testing.assert_allclose(float(res.info.beta), beta_o, rtol=1e-6)
+    np.testing.assert_allclose(float(res.info.eta), eta_o, rtol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(res.info.weights, np.float64), w_o, rtol=5e-3, atol=1e-9
+    )
+    np.testing.assert_allclose(np.asarray(res.action), action_o, rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(res.u_next), U_shift_o, rtol=1e-4, atol=2e-5)
+
+
+def test_softmin_conditioning_at_scale():
+    """At K=10^4 the softmin must remain well-conditioned: eta far from
+    underflow (many rollouts contribute) and the weights exactly normalized.
+    Guards the f32 exp against the cost-spread regime of the real workload."""
+    dyn, cost, x0, U, sigma = _setup()
+    eps = sample_noise(jax.random.key(1), T, K, A, sigma)
+    S = rollout_costs(dyn, cost, x0, U, eps)
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    # (a) the reference's hardcoded lambda=1 (src/point_mass.cu:53): the cost
+    # spread at T=200 is huge relative to lambda, so the softmin legitimately
+    # concentrates (measured ESS ~2 — the reference runs in this regime too);
+    # the NUMERICS must still hold: eta >= 1 (the beta-shift guarantees the
+    # argmin contributes exp(0)=1, so eta can never underflow to 0), finite,
+    # and exactly normalized weights.
+    sm = softmin_weights(S, cost.lambda_)
+    eta = float(sm.eta)
+    assert np.isfinite(eta) and eta >= 1.0
+    assert np.all(np.isfinite(np.asarray(sm.weights)))
+    np.testing.assert_allclose(float(sm.weights.sum()), 1.0, rtol=1e-5)
+
+    # (b) lambda scaled to the cost spread (how a practitioner would set it):
+    # the f32 exp must then keep MANY rollouts alive — if this ESS were small
+    # the exp would be underflowing mid-distribution, not just in the tail
+    lam_scaled = jnp.float32(np.std(np.asarray(S)) / 3.0)
+    sm2 = softmin_weights(S, lam_scaled)
+    ess = 1.0 / float(jnp.sum(sm2.weights**2))
+    assert ess > 100.0, f"softmin collapsed at matched lambda: ESS {ess:.1f}"
+    np.testing.assert_allclose(float(sm2.weights.sum()), 1.0, rtol=1e-5)
+
+
+def test_pallas_testmode_parity_at_benchmark_scale():
+    """The full Pallas kernel math (group packing, one-hot U extraction,
+    in-register accumulation over T=200, K-padding masking, the weighted
+    update) at K=10^4 vs the float64 oracle — interpreted on CPU with the
+    host-replicable pseudo-noise."""
+    dyn, cost, x0, U, sigma = _setup()
+    key = jax.random.key(2)
+    plan = pr.make_plan(K, T, A, testmode=True)
+    eps = pr.fake_noise_tensor(plan, sigma, key=key)[:, :K, :]
+
+    S = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, interpret=True, testmode=True
+    )
+    S_o, U_new_o, action_o, U_shift_o, w_o, beta_o, eta_o = _oracle(cost, x0, U, eps)
+    rel = np.abs(np.asarray(S[:K], np.float64) - S_o) / np.abs(S_o)
+    assert rel.max() < 2e-4, f"worst kernel S relative error {rel.max():.2e}"
+    assert np.all(np.asarray(S[K:]) > 1e37)
+
+    w_pad = jnp.zeros((plan.Kpad,)).at[:K].set(jnp.asarray(w_o, jnp.float32))
+    dU = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, w_pad, K=K, interpret=True, testmode=True
+    )
+    dU_o = (w_o[None, :, None] * np.asarray(eps, np.float64)).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(dU, np.float64), dU_o, rtol=2e-3, atol=2e-5)
