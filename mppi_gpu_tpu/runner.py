@@ -64,7 +64,20 @@ def _make_world(cfg, params, backend: str) -> Any:
         return NativePointMassWorld(params)
     if backend == "jax":
         return _JaxWorldAdapter(make_jax_world(cfg, params))
-    raise ValueError(f"unknown world backend '{backend}' (native|jax)")
+    if backend == "mujoco":
+        # the reference's actual plant (mj_step; optional dependency) — the
+        # point-mass family is what the reference simulates
+        if is_cartpole_env(cfg.env) or is_pendulum_env(cfg.env):
+            raise ValueError(
+                "world backend 'mujoco' covers the point-mass family "
+                "(the reference's env); use jax|native for "
+                f"'{cfg.env}'"
+            )
+        from mppi_gpu_tpu.envs.mujoco_world import MujocoPointMassWorld
+
+        xml = str(cfg.env) if str(cfg.env).endswith(".xml") else None
+        return MujocoPointMassWorld(params, xml_path=xml)
+    raise ValueError(f"unknown world backend '{backend}' (native|jax|mujoco)")
 
 
 class _JaxWorldAdapter:
@@ -168,14 +181,17 @@ def run_closed_loop(
             check_solve(step, action, res.info)
 
         if step_dump_every and step % step_dump_every == 0 and step_dump_dir:
-            # Dump a solve from the same state and key, materializing eps +
-            # full sampled trajectories (the reference's save_step path,
-            # src/main.cu:355-367). NOTE: solve_debug always samples via the
-            # scan/threefry path, so under the pallas or sharded backends the
-            # dump documents an equivalent-in-distribution solve, NOT the
-            # bit-identical noise stream behind the executed action; the
-            # NumPy-oracle check in scripts/plot_csv.py verifies the dump's
-            # own internal consistency either way.
+            # Dump the solve for this state and key, materializing eps + full
+            # sampled trajectories (the reference's save_step path,
+            # src/main.cu:355-367). solve_debug is backend-faithful: scan
+            # reproduces the threefry stream, pallas replays the on-chip PRNG
+            # stream via the noise-dump kernel. The episode then ADVANCES
+            # with the dump's own result, so the CSV documents the exact
+            # solve that drove the robot — the analog of the reference's
+            # bit-faithful get_inf download of the executed buffers
+            # (src/point_mass.cu:236-262). (Under a sharded controller the
+            # dump documents the single-chip-equivalent solve instead; the
+            # sharded noise layout is per-device.)
             dbg_res, eps, traj = ctrl.solve_debug(
                 x, U_prev, jax.random.fold_in(key, step)
             )
@@ -185,6 +201,8 @@ def run_closed_loop(
                 np.asarray(dbg_res.info.u_seq), np.asarray(U_prev),
                 np.asarray(dbg_res.info.weights), np.asarray(dbg_res.info.costs),
             )
+            action = np.asarray(dbg_res.action)
+            U = dbg_res.u_next
 
         done = world.simulate(action)
         if done:

@@ -124,6 +124,36 @@ e = _np.asarray(eps2)
 r = _np.corrcoef(e[:-1].ravel(), e[1:].ravel())[0, 1]
 assert abs(r - OU) < 0.25, f"OU autocorrelation {r} != {OU}"
 
+# --- noise-dump kernel (debug path) must replay the REAL on-chip PRNG
+# stream bit-for-bit: kernel D's grid-(tiles,T) decomposition with seed-at-
+# t=0 carries hardware PRNG state across grid steps exactly like kernels
+# A/B's internal fori_loop; cross-check against kernel B's one-hot
+# extraction, iid + OU + antithetic
+for anti_d, ou_d in ((False, 0.0), (False, 0.6), (True, 0.0)):
+    K_d = K - (K % 2 if anti_d else 0)
+    plan_d = pr.make_plan(K_d, T, A, antithetic=anti_d, ou_beta=ou_d)
+    eps_all = pr.pallas_noise_dump(
+        dyn, cost, x0, U, key, sigma, K=K_d, antithetic=anti_d, ou_beta=ou_d
+    )
+    assert eps_all.shape == (T, K_d, A)
+    for k in (0, 1, K_d - 1):
+        w_oh = jnp.zeros((plan_d.Kpad,), jnp.float32).at[k].set(1.0)
+        eps_k = pr.pallas_weighted_update(
+            dyn, cost, x0, U, key, sigma, w_oh, K=K_d,
+            antithetic=anti_d, ou_beta=ou_d,
+        )
+        assert jnp.array_equal(eps_all[:, k, :], eps_k), (
+            f"noise dump != kernel stream (anti={anti_d} ou={ou_d} k={k})"
+        )
+
+# --- solve_debug faithfulness on hardware: the dump's u_seq IS the executed
+# fused solve's u_seq for the same inputs
+_dbg, _eps_dbg, _traj = ctrl.solve_debug(x0, ctrl.init_action_seq(), ctrl.init_key())
+_exe = ctrl.solve(x0, ctrl.init_action_seq(), ctrl.init_key())
+assert jnp.array_equal(_dbg.info.u_seq, _exe.info.u_seq), "debug u_seq != executed"
+assert jnp.array_equal(_dbg.action, _exe.action)
+assert _eps_dbg.shape == (T, K, A) and _traj.shape == (T + 1, K, 6)
+
 # --- fused single-kernel solve must equal the two-kernel path exactly
 for anti in (False, True):
     S2 = pr.pallas_rollout_costs(dyn, cost, x0, U, key, sigma, K=K, antithetic=anti)
@@ -179,5 +209,61 @@ assert _sc.rollout_backend == "pallas", _sc.rollout_backend
 _res = _sc.solve(x0, _sc.init_action_seq(), _sc.init_key())
 assert jnp.all(jnp.isfinite(_res.action))
 assert abs(float(jnp.sum(_res.info.weights)) - 1.0) < 1e-3
+
+# --- pendulum fused family on hardware: one-hot kernel A/B cross-check via
+# the scan oracle, fused == two-kernel, and 'auto' resolution
+from mppi_gpu_tpu.models.pendulum import PendulumDynamics
+from mppi_gpu_tpu.ops.cost import PendulumSwingupCost
+
+dyn_p = PendulumDynamics.create(0.05, mass=1.2, length=0.9, damping=0.15)
+cost_p = PendulumSwingupCost(
+    w_angle=jnp.float32(4.0), w_vel=jnp.float32(0.2),
+    lambda_=jnp.float32(0.8), inv_s=jnp.full((1,), 1.3),
+)
+x0_p = jnp.array([3.0, 0.1])
+T_p = 20
+U_p = 0.3 * jnp.sin(0.2 * jnp.arange(T_p, dtype=jnp.float32)).reshape(T_p, 1)
+sig_p = jnp.full((1,), 0.8)
+K_p = 900
+S_p = pr.pallas_rollout_costs(dyn_p, cost_p, x0_p, U_p, key, sig_p, K=K_p)
+plan_p = pr.make_plan(K_p, T_p, 1, family="pendulum")
+assert float(S_p[-1]) > 1e37
+for k in (0, 5, K_p - 1):
+    w_p = jnp.zeros((plan_p.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = pr.pallas_weighted_update(dyn_p, cost_p, x0_p, U_p, key, sig_p, w_p, K=K_p)
+    S_ref = float(rollout_costs(dyn_p, cost_p, x0_p, U_p, eps_k[:, None, :])[0])
+    rel = abs(float(S_p[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 1e-4, f"pendulum k={k}: kernel S={float(S_p[k])} scan S={S_ref} rel={rel}"
+
+from mppi_gpu_tpu.ops.softmin import softmin_weights as _smw
+
+sm_p = _smw(S_p, jnp.float32(0.8))
+dU_p = pr.pallas_weighted_update(dyn_p, cost_p, x0_p, U_p, key, sig_p, sm_p.weights, K=K_p)
+Sf_p, dUf_p = pr.pallas_fused_solve_core(
+    dyn_p, cost_p, x0_p, U_p, key, sig_p, jnp.float32(0.8), K=K_p
+)
+assert jnp.allclose(Sf_p, S_p, rtol=1e-6), "pendulum fused S mismatch"
+assert jnp.allclose(dUf_p, dU_p, rtol=2e-4, atol=2e-6), "pendulum fused dU mismatch"
+
+cfg_p = MPPIConfig(
+    env="pendulum", samples=K_p, state_dim=2, action_dim=1, horizon=T_p,
+    dt=0.05, lambda_=0.8, noise=(0.8,), init_act=(0.0,), max_a=(2.0,),
+    goal=(0.0, 0.0), cost_type="pendulum", cost_w=(4.0, 0.2),
+)
+ctrl_p = MPPIController(cfg_p, rollout_backend="auto")
+assert ctrl_p.rollout_backend == "pallas", ctrl_p.rollout_backend
+res_p = ctrl_p.solve(x0_p, ctrl_p.init_action_seq(), ctrl_p.init_key())
+assert jnp.all(jnp.isfinite(jax.block_until_ready(res_p.action)))
+
+# --- whole-episode jit x pallas backend: the two headline modes compose —
+# a short closed-loop episode (solve + world physics per cycle, one XLA
+# program) with the FUSED kernel inside the episode scan
+from mppi_gpu_tpu.runner import run_episode_jit
+
+ep = run_episode_jit(ctrl, num_steps=25)  # point_mass3d, pallas fused
+assert ep.xs.shape[0] == 26 and _np.all(_np.isfinite(ep.xs))
+d0 = _np.linalg.norm(ep.xs[0][:3] - _np.array([1.0, 0.5, 0.75]))
+d1 = _np.linalg.norm(ep.xs[-1][:3] - _np.array([1.0, 0.5, 0.75]))
+assert d1 < d0, f"episode-jit(pallas) made no goal progress: {d0} -> {d1}"
 
 print("PALLAS_TPU_OK")
