@@ -1,6 +1,6 @@
 """Benchmark: MPPI solve latency on the reference's headline workload.
 
-Reference baseline: ~300 ms per solve at K=10^4 rollouts × T=200 steps on an
+Reference baseline: ~300 ms per solve at K=10^4 rollouts x T=200 steps on an
 NVIDIA GPU (reference README.md:35; /root/repo/BASELINE.md). This script times
 the same workload (point_mass3d dims) on the current JAX default device and
 prints ONE JSON line:
@@ -10,7 +10,14 @@ prints ONE JSON line:
 
 Extra context lines (larger K, solves/s, backend) go to stderr.
 
-Run: python bench.py            [--k 10000 --t 200 --backend auto|scan|pallas]
+Modes:
+    python bench.py                      # headline K=1e4 T=200 (auto backend)
+    python bench.py --backend pallas --extra --antithetic
+    python bench.py --sharded            # mesh-size sweep {1,2,..} weak+strong
+    python bench.py --sharded --virtual  # same on an 8-device virtual CPU mesh
+    python bench.py --mlp                # MLP-dynamics rollout (MXU workload)
+    python bench.py --all                # regenerate the full BASELINE table
+    python bench.py --all --update-baseline   # ...and rewrite BASELINE.md
 """
 
 from __future__ import annotations
@@ -20,29 +27,67 @@ import json
 import os
 import sys
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_MS = 300.0  # reference GPU, K=1e4, T=200 (README.md:35)
 
+# --virtual must win before the backend initializes (the axon tunnel's
+# sitecustomize forces the TPU platform, so plain env vars are not enough)
+if "--virtual" in sys.argv:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
 
-def build(K: int, T: int, backend: str, antithetic: bool = False):
+    jax.config.update("jax_platforms", "cpu")
+else:
+    import jax
+
+import jax.numpy as jnp
+
+
+def build(K: int, T: int, backend: str, antithetic: bool = False,
+          mesh=None, mlp: bool = False, testmode: bool = False,
+          family: str = "lti"):
     from mppi_gpu_tpu.config import MPPIConfig
     from mppi_gpu_tpu.controller import MPPIController
 
-    cfg = MPPIConfig(
-        env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
-        dt=0.1, lambda_=1.0, noise=(0.25, 0.25, 0.25),
-        init_act=(0.0, 0.0, 0.0), max_a=(1.0, 1.0, 1.0),
-        goal=(1.0, 0.5, 0.75, 0.0, 0.0, 0.0),
-        cost_type="quadratic", cost_w=(1.0, 1.0, 1.0, 5.0, 5.0, 5.0),
-        antithetic=antithetic,
-    )
-    return MPPIController(cfg, rollout_backend=backend)
+    if family == "pendulum":
+        cfg = MPPIConfig(
+            env="pendulum", samples=K, state_dim=2, action_dim=1, horizon=T,
+            dt=0.05, lambda_=1.0, noise=(0.8,), init_act=(0.0,), max_a=(2.0,),
+            goal=(0.0, 0.0), cost_type="pendulum", cost_w=(4.0, 0.2),
+            antithetic=antithetic,
+        )
+    else:
+        cfg = MPPIConfig(
+            env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
+            dt=0.1, lambda_=1.0, noise=(0.25, 0.25, 0.25),
+            init_act=(0.0, 0.0, 0.0), max_a=(1.0, 1.0, 1.0),
+            goal=(1.0, 0.5, 0.75, 0.0, 0.0, 0.0),
+            cost_type="quadratic", cost_w=(1.0, 1.0, 1.0, 5.0, 5.0, 5.0),
+            antithetic=antithetic,
+        )
+    dynamics = None
+    if mlp:
+        from mppi_gpu_tpu.models.neural import init_mlp_dynamics
+
+        dynamics = init_mlp_dynamics(
+            jax.random.key(7), cfg.state_dim, cfg.action_dim, hidden=(128, 128),
+            residual_scale=0.05,
+        )
+        backend = "scan"  # the fused kernel covers analytic families only
+    if mesh is not None:
+        from mppi_gpu_tpu.parallel import ShardedMPPIController
+
+        return ShardedMPPIController(
+            cfg, dynamics, mesh=mesh, rollout_backend=backend, testmode=testmode
+        )
+    return MPPIController(cfg, dynamics, rollout_backend=backend)
 
 
 def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
-                antithetic: bool = False) -> dict:
+                antithetic: bool = False, mesh=None, mlp: bool = False,
+                reps: int = 5, testmode: bool = False,
+                family: str = "lti") -> dict:
     """Times one MPPI solve by differencing two chained-scan lengths.
 
     Host wall-clock around a single dispatch is unusable on a tunneled TPU
@@ -51,13 +96,21 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
     U — a real data dependency XLA cannot elide), fetch one scalar, and take
     (t(n_big) − t(n_small)) / (n_big − n_small). Constant dispatch/fetch
     overhead cancels exactly.
+
+    Statistics are honest paired estimates: rep i yields
+    est_i = (t_big_i − t_small_i)/Δn; we report the median, min, max and
+    spread over `reps` such estimates — nothing is fabricated from the mean.
     """
     import time
 
     import numpy as np
 
-    ctrl = build(K, T, backend, antithetic)
-    x = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
+    ctrl = build(K, T, backend, antithetic, mesh=mesh, mlp=mlp,
+                 testmode=testmode, family=family)
+    if family == "pendulum":
+        x = jnp.asarray([3.0, 0.1], jnp.float32)  # hanging, slight spin
+    else:
+        x = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
     U0 = ctrl.init_action_seq()
     key0 = jax.random.key(0)
 
@@ -86,28 +139,234 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
         return time.perf_counter() - t0
 
     timed(small), timed(big)  # compile + warm
-    reps = 5
-    ts = sorted(timed(small) for _ in range(reps))
-    tb = sorted(timed(big) for _ in range(reps))
-    per_solve_ms = (tb[reps // 2] - ts[reps // 2]) * 1e3 / (n_big - n_small)
-    best_ms = (tb[0] - ts[-1]) * 1e3 / (n_big - n_small)
+    ests = []
+    for _ in range(reps):
+        ts, tb = timed(small), timed(big)
+        ests.append((tb - ts) * 1e3 / (n_big - n_small))
+    ests = sorted(ests)
     return {
-        "mean_ms": per_solve_ms,
-        "p50_ms": per_solve_ms,
-        "p95_ms": (tb[-1] - ts[0]) * 1e3 / (n_big - n_small),
-        "min_ms": max(best_ms, 0.0),
+        "p50_ms": float(np.median(ests)),
+        "min_ms": max(ests[0], 0.0),
+        "max_ms": ests[-1],
+        "spread_ms": ests[-1] - ests[0],
+        "reps": reps,
+        "estimates_ms": [round(e, 4) for e in ests],
     }
+
+
+def _fmt(s: dict) -> str:
+    return (
+        f"p50={s['p50_ms']:.3f} ms min={s['min_ms']:.3f} max={s['max_ms']:.3f} "
+        f"(spread {s['spread_ms']:.3f} over {s['reps']} reps, "
+        f"{1e3 / s['p50_ms']:.1f} solves/s)"
+    )
+
+
+def run_headline(args) -> dict:
+    s = bench_solve(args.k, args.t, args.backend, args.iters, args.warmup,
+                    args.antithetic, mlp=args.mlp, family=args.family)
+    label = "mlp" if args.mlp else args.backend
+    if args.family != "lti":
+        label += f" ({args.family})"
+    print(f"K={args.k} T={args.t} backend={label}: {_fmt(s)}", file=sys.stderr)
+    if args.extra:
+        s5 = bench_solve(100_000, args.t, args.backend,
+                         max(args.iters // 3, 5), 3, args.antithetic,
+                         mlp=args.mlp, family=args.family)
+        print(f"K=100000 T={args.t}: {_fmt(s5)}", file=sys.stderr)
+    metric = f"ms_per_solve_K{args.k}_T{args.t}" + ("_mlp" if args.mlp else "") + (
+        f"_{args.family}" if args.family != "lti" else ""
+    )
+    return {
+        "metric": metric,
+        "value": round(s["p50_ms"], 4),
+        "unit": "ms",
+        # the reference baseline is the analytic-LTI point-mass workload; the
+        # MLP / pendulum rollouts are different computations — no speedup
+        # claim for those
+        "vs_baseline": (
+            None if (args.mlp or args.family != "lti")
+            else round(BASELINE_MS / s["p50_ms"], 2)
+        ),
+    }
+
+
+def run_sharded(args) -> dict:
+    """Mesh-size sweep: weak scaling (K per device fixed) and strong scaling
+    (total K fixed), with efficiency vs the n=1 anchor. On real hardware the
+    sweep covers whatever chips are attached (1 on the dev tunnel — the n=1
+    anchor); `--virtual` runs the full 8-device sweep on a CPU host mesh,
+    which validates shapes/collectives and measures the harness, NOT ICI."""
+    from mppi_gpu_tpu.parallel import make_mesh
+
+    ndev = len(jax.devices())
+    sizes = [int(n) for n in args.mesh_sizes.split(",") if int(n) <= ndev]
+    if not sizes:
+        sizes = [1]
+    platform = jax.devices()[0].platform
+    testmode = args.virtual and args.backend in ("pallas", "pallas-interpret")
+    backend = (
+        "pallas-interpret" if testmode
+        else (args.backend if args.backend != "auto" else
+              ("pallas" if platform == "tpu" else "scan"))
+    )
+    k_per_dev = args.k // max(sizes)
+    rows = []
+    for n in sizes:
+        mesh = make_mesh(n)
+        weak = bench_solve(k_per_dev * n, args.t, backend, args.iters,
+                           args.warmup, args.antithetic, mesh=mesh,
+                           reps=3, testmode=testmode)
+        strong = bench_solve(args.k, args.t, backend, args.iters,
+                             args.warmup, args.antithetic, mesh=mesh,
+                             reps=3, testmode=testmode)
+        rows.append({"n": n, "weak_ms": weak["p50_ms"], "strong_ms": strong["p50_ms"]})
+        print(
+            f"mesh n={n}: weak (K={k_per_dev * n}) p50={weak['p50_ms']:.3f} ms  "
+            f"strong (K={args.k}) p50={strong['p50_ms']:.3f} ms",
+            file=sys.stderr,
+        )
+    t1w, t1s = rows[0]["weak_ms"], rows[0]["strong_ms"]
+    for r in rows:
+        r["weak_eff"] = round(t1w / r["weak_ms"], 3)
+        r["strong_eff"] = round(t1s / (r["n"] * r["strong_ms"]), 3)
+    print(
+        "scaling efficiency (vs n=1): "
+        + "  ".join(
+            f"n={r['n']}: weak {r['weak_eff']:.0%} strong {r['strong_eff']:.0%}"
+            for r in rows
+        ),
+        file=sys.stderr,
+    )
+    return {
+        "metric": f"sharded_scaling_K{args.k}_T{args.t}",
+        "value": rows[-1]["weak_eff"],
+        "unit": "weak_scaling_efficiency",
+        "vs_baseline": None,
+        "platform": platform,
+        "backend": backend,
+        "virtual": bool(args.virtual),
+        "rows": rows,
+    }
+
+
+ALL_CASES = [
+    # (K, backend, antithetic, iters, family)
+    (10_000, "scan", False, 60, "lti"),
+    (10_000, "pallas", False, 60, "lti"),
+    (100_000, "scan", False, 20, "lti"),
+    (100_000, "pallas", False, 20, "lti"),
+    (100_000, "pallas", True, 20, "lti"),
+    (1_000_000, "pallas", False, 8, "lti"),
+    (100_000, "scan", False, 20, "pendulum"),
+    (100_000, "pallas", False, 20, "pendulum"),
+]
+
+
+def run_all(args) -> dict:
+    """The full BASELINE.md measured-results table, one command."""
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        print("warning: --all measured on", platform, "(not TPU)", file=sys.stderr)
+    results = []
+    for K, backend, anti, iters, family in ALL_CASES:
+        if backend == "pallas" and platform != "tpu":
+            continue
+        s = bench_solve(K, args.t, backend, iters, 3, anti, family=family)
+        row = {"K": K, "backend": backend, "antithetic": anti, "family": family, **s}
+        results.append(row)
+        tag = backend + (" + antithetic" if anti else "")
+        if family != "lti":
+            tag += f" [{family}]"
+        print(f"K={K:>7} {tag:<22} {_fmt(s)}", file=sys.stderr)
+    mlp = bench_solve(10_000, args.t, "scan", 20, 3, mlp=True)
+    results.append({"K": 10_000, "backend": "mlp-scan", "antithetic": False,
+                    "family": "mlp", **mlp})
+    print(f"K=  10000 {'MLP(128x128) scan':<22} {_fmt(mlp)}", file=sys.stderr)
+
+    table = _markdown_table(results, args.t)
+    print(table, file=sys.stderr)
+    if args.update_baseline:
+        _update_baseline_md(table)
+        print("BASELINE.md measured-results table updated", file=sys.stderr)
+    head = next(
+        (r for r in results if r["K"] == 10_000 and r["backend"] == "pallas"),
+        results[0],
+    )
+    return {
+        "metric": f"ms_per_solve_K10000_T{args.t}",
+        "value": round(head["p50_ms"], 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / head["p50_ms"], 2),
+        "table": results,
+    }
+
+
+def _markdown_table(results: list[dict], T: int) -> str:
+    lines = [
+        "| Workload | Backend | ms/solve (p50) | min..max | vs reference ~300 ms |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        tag = {"scan": "XLA scan", "pallas": "fused Pallas", "mlp-scan":
+               "MLP(128x128) scan"}[r["backend"]]
+        if r["antithetic"]:
+            tag += " + antithetic"
+        fam = r.get("family", "lti")
+        work = f"K=10^{len(str(r['K'])) - 1}, T={T}"
+        if fam == "pendulum":
+            work += " (pendulum)"
+        vs = (
+            f"{BASELINE_MS / r['p50_ms']:.0f}x"
+            if r["K"] == 10_000 and fam == "lti" else "—"
+        )
+        lines.append(
+            f"| {work} | {tag} | {r['p50_ms']:.2f} "
+            f"| {r['min_ms']:.2f}..{r['max_ms']:.2f} | {vs} |"
+        )
+    return "\n".join(lines)
+
+
+def _update_baseline_md(table: str) -> None:
+    """Replace the auto-generated measured-results table in BASELINE.md
+    (between the AUTOGEN markers) so the published numbers are reproducible
+    by one command."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    with open(path) as f:
+        text = f.read()
+    begin, end = "<!-- AUTOGEN:bench-table -->", "<!-- /AUTOGEN:bench-table -->"
+    if begin not in text:
+        print("no AUTOGEN markers in BASELINE.md; printing table only", file=sys.stderr)
+        return
+    head, rest = text.split(begin, 1)
+    _, tail = rest.split(end, 1)
+    with open(path, "w") as f:
+        f.write(head + begin + "\n" + table + "\n" + end + tail)
 
 
 def _build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--k", type=int, default=10_000)
     p.add_argument("--t", type=int, default=200)
-    p.add_argument("--backend", default="auto", choices=("auto", "scan", "pallas"))
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "scan", "pallas", "pallas-interpret"))
     p.add_argument("--iters", type=int, default=60)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--extra", action="store_true", help="also bench K=1e5")
     p.add_argument("--antithetic", action="store_true", help="mirrored noise pairs")
+    p.add_argument("--mlp", action="store_true",
+                   help="MLP(128x128) residual dynamics instead of analytic LTI")
+    p.add_argument("--family", default="lti", choices=("lti", "pendulum"),
+                   help="fused model family for the workload")
+    p.add_argument("--sharded", action="store_true",
+                   help="mesh-size sweep with weak/strong scaling efficiency")
+    p.add_argument("--mesh-sizes", default="1,2,4,8")
+    p.add_argument("--virtual", action="store_true",
+                   help="force an 8-device virtual CPU mesh (shape/harness run)")
+    p.add_argument("--all", action="store_true",
+                   help="regenerate the full BASELINE measured-results table")
+    p.add_argument("--update-baseline", action="store_true",
+                   help="with --all: rewrite BASELINE.md's AUTOGEN table")
     p.add_argument(
         "--inner", action="store_true",
         help="run the measurement in THIS process (no watchdog). By default the "
@@ -123,40 +382,21 @@ def _build_parser() -> argparse.ArgumentParser:
 
 def main() -> int:
     args = _build_parser().parse_args()
+    if args.all:
+        args.attempt_timeout = max(args.attempt_timeout, 1500.0)
     if not args.inner:
         return _supervise(args)
 
     dev = jax.devices()[0]
-    print(f"device: {dev.platform} ({dev})", file=sys.stderr)
+    print(f"device: {dev.platform} ({dev}) x{len(jax.devices())}", file=sys.stderr)
 
-    s = bench_solve(args.k, args.t, args.backend, args.iters, args.warmup, args.antithetic)
-    ms = s["p50_ms"]
-    print(
-        f"K={args.k} T={args.t} backend={args.backend}: "
-        f"mean={s['mean_ms']:.3f} ms p50={s['p50_ms']:.3f} ms "
-        f"p95={s['p95_ms']:.3f} ms min={s['min_ms']:.3f} ms "
-        f"({1e3 / ms:.1f} solves/s)",
-        file=sys.stderr,
-    )
-
-    if args.extra:
-        s5 = bench_solve(100_000, args.t, args.backend, max(args.iters // 3, 5), 3, args.antithetic)
-        print(
-            f"K=100000 T={args.t}: p50={s5['p50_ms']:.3f} ms "
-            f"({1e3 / s5['p50_ms']:.1f} solves/s)",
-            file=sys.stderr,
-        )
-
-    print(
-        json.dumps(
-            {
-                "metric": f"ms_per_solve_K{args.k}_T{args.t}",
-                "value": round(ms, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / ms, 2),
-            }
-        )
-    )
+    if args.sharded:
+        out = run_sharded(args)
+    elif args.all:
+        out = run_all(args)
+    else:
+        out = run_headline(args)
+    print(json.dumps(out))
     return 0
 
 
@@ -169,11 +409,12 @@ def _supervise(args) -> int:
     cmd = [sys.executable, os.path.abspath(__file__), "--inner"]
     for flag in ("k", "t", "iters", "warmup"):
         cmd += [f"--{flag}", str(getattr(args, flag))]
-    cmd += ["--backend", args.backend]
-    if args.extra:
-        cmd.append("--extra")
-    if args.antithetic:
-        cmd.append("--antithetic")
+    cmd += ["--backend", args.backend, "--mesh-sizes", args.mesh_sizes,
+            "--family", args.family]
+    for flag in ("extra", "antithetic", "mlp", "sharded", "virtual", "all",
+                 "update_baseline"):
+        if getattr(args, flag):
+            cmd.append("--" + flag.replace("_", "-"))
 
     for attempt in range(1, args.attempts + 1):
         try:
