@@ -31,8 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--dump-every", type=int, default=50, help="dump every N steps")
     p.add_argument(
-        "--world", choices=("jax", "native"), default="jax",
-        help="ground-truth world backend (native = C++ simulator)",
+        "--world", choices=("jax", "native", "mujoco"), default="jax",
+        help="ground-truth world backend (native = C++ simulator; mujoco = "
+        "real mj_step, needs the optional mujoco package)",
     )
     p.add_argument(
         "--rollout-backend", choices=("auto", "scan", "pallas"), default="auto",

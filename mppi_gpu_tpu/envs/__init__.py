@@ -1,11 +1,14 @@
 """Ground-truth world simulators (the analog of the reference's MuJoCo env).
 
-Two interchangeable backends with identical physics:
+Three interchangeable backends with identical physics:
   * `PointMassWorld` — pure JAX; jittable, so a whole closed-loop episode can
     run as one XLA program.
   * `NativePointMassWorld` — C++ (csrc/world.cpp via ctypes); host-side like
     the reference's MuJoCo env, used for the interactive loop and as an
     independent implementation to test the JAX env against.
+  * `MujocoPointMassWorld` (envs/mujoco_world.py) — the reference's ACTUAL
+    plant: real `mujoco.mj_step` (optional dependency). The analytic worlds
+    track it to ~2e-7 in the interior (tests/test_mujoco_xval.py).
 """
 
 from mppi_gpu_tpu.envs.params import WorldParams, world_params_for_config

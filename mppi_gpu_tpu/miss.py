@@ -56,10 +56,16 @@ def run_mismatch(
     # sim_end (10 s) and long excitation runs would compare the model against
     # a frozen plant.
     spc = params.steps_per_control
-    if world_backend == "native":
-        from mppi_gpu_tpu.envs.native import NativePointMassWorld
+    if world_backend in ("native", "mujoco"):
+        if world_backend == "native":
+            from mppi_gpu_tpu.envs.native import NativePointMassWorld
 
-        world = NativePointMassWorld(params)
+            world = NativePointMassWorld(params)
+        else:
+            # the reference's actual plant (mj_step) — optional dependency
+            from mppi_gpu_tpu.envs.mujoco_world import MujocoPointMassWorld
+
+            world = MujocoPointMassWorld(params)
         traj_world = np.empty((n_steps + 1, 2 * n_axes), np.float32)
         traj_world[0] = world.get_x()
         for t in range(n_steps):
@@ -174,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-a", "--axes", type=int, default=2, help="axes if no config")
     p.add_argument("-n", "--steps", type=int, default=100)
     p.add_argument("-o", "--out", default="missmatch.csv")
-    p.add_argument("--world", choices=("jax", "native"), default="jax")
+    p.add_argument("--world", choices=("jax", "native", "mujoco"), default="jax")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
