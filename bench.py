@@ -57,6 +57,23 @@ def build(K: int, T: int, backend: str, antithetic: bool = False,
             goal=(0.0, 0.0), cost_type="pendulum", cost_w=(4.0, 0.2),
             antithetic=antithetic,
         )
+    elif family == "cartpole":
+        cfg = MPPIConfig(
+            env="cartpole", samples=K, state_dim=4, action_dim=1, horizon=T,
+            dt=0.03, lambda_=0.3, noise=(3.0,), init_act=(0.0,), max_a=(10.0,),
+            goal=(0.0, 0.0, 0.0, 0.0), cost_type="cartpole",
+            cost_w=(0.5, 20.0, 0.05, 0.1), antithetic=antithetic,
+        )
+    elif family == "obstacle":
+        cfg = MPPIConfig(
+            env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
+            dt=0.1, lambda_=1.0, noise=(0.25, 0.25, 0.25),
+            init_act=(0.0, 0.0, 0.0), max_a=(1.0, 1.0, 1.0),
+            goal=(1.0, 0.5, 0.75, 0.0, 0.0, 0.0),
+            cost_type="obstacle", cost_w=(1.0, 1.0, 1.0, 5.0, 5.0, 5.0),
+            obstacles=((0.5, 0.25, 0.4, 0.2), (0.2, 0.4, 0.1, 0.15)),
+            antithetic=antithetic,
+        )
     else:
         cfg = MPPIConfig(
             env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
@@ -109,7 +126,9 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
                  testmode=testmode, family=family)
     if family == "pendulum":
         x = jnp.asarray([3.0, 0.1], jnp.float32)  # hanging, slight spin
-    else:
+    elif family == "cartpole":
+        x = jnp.asarray([0.1, 0.2, 0.0, 0.0], jnp.float32)  # pole leaning
+    else:  # lti / obstacle (point_mass3d state)
         x = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
     U0 = ctrl.init_action_seq()
     key0 = jax.random.key(0)
@@ -250,6 +269,47 @@ def run_sharded(args) -> dict:
     }
 
 
+def run_episode(args) -> dict:
+    """Whole-episode-jit headline: the full 10 s closed loop (500 control
+    cycles of solve + world physics at K=3000, T=50) as ONE XLA program,
+    timed warm, for both rollout backends."""
+    import time
+
+    from mppi_gpu_tpu.config import load_config
+    from mppi_gpu_tpu.controller import MPPIController
+    from mppi_gpu_tpu.runner import run_episode_jit
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(os.path.join(root, "configs", "point_mass2d.yaml"))
+    out = {}
+    platform = jax.devices()[0].platform
+    backends = ["scan"] + (["pallas"] if platform == "tpu" else [])
+    for backend in backends:
+        ctrl = MPPIController(cfg, rollout_backend=backend)
+        run_episode_jit(ctrl)  # compile + warm
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run_episode_jit(ctrl)
+            reps.append(time.perf_counter() - t0)
+        assert res.xs.shape[0] > 400
+        out[backend] = sorted(reps)[1]
+        print(
+            f"episode-jit [{backend}]: {out[backend]:.3f} s warm for "
+            f"{res.us.shape[0]} control cycles "
+            f"({1e3 * out[backend] / res.us.shape[0]:.2f} ms/cycle incl. plant)",
+            file=sys.stderr,
+        )
+    best = min(out.values())
+    return {
+        "metric": "episode_jit_seconds_K3000_T50_500cycles",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": None,
+        "per_backend_s": {k: round(v, 4) for k, v in out.items()},
+    }
+
+
 ALL_CASES = [
     # (K, backend, antithetic, iters, family)
     (10_000, "scan", False, 60, "lti"),
@@ -260,6 +320,10 @@ ALL_CASES = [
     (1_000_000, "pallas", False, 8, "lti"),
     (100_000, "scan", False, 20, "pendulum"),
     (100_000, "pallas", False, 20, "pendulum"),
+    (100_000, "scan", False, 20, "cartpole"),
+    (100_000, "pallas", False, 20, "cartpole"),
+    (100_000, "scan", False, 20, "obstacle"),
+    (100_000, "pallas", False, 20, "obstacle"),
 ]
 
 
@@ -314,8 +378,8 @@ def _markdown_table(results: list[dict], T: int) -> str:
             tag += " + antithetic"
         fam = r.get("family", "lti")
         work = f"K=10^{len(str(r['K'])) - 1}, T={T}"
-        if fam == "pendulum":
-            work += " (pendulum)"
+        if fam not in ("lti", "mlp"):
+            work += f" ({fam})"
         vs = (
             f"{BASELINE_MS / r['p50_ms']:.0f}x"
             if r["K"] == 10_000 and fam == "lti" else "—"
@@ -356,10 +420,14 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--antithetic", action="store_true", help="mirrored noise pairs")
     p.add_argument("--mlp", action="store_true",
                    help="MLP(128x128) residual dynamics instead of analytic LTI")
-    p.add_argument("--family", default="lti", choices=("lti", "pendulum"),
+    p.add_argument("--family", default="lti",
+                   choices=("lti", "pendulum", "cartpole", "obstacle"),
                    help="fused model family for the workload")
     p.add_argument("--sharded", action="store_true",
                    help="mesh-size sweep with weak/strong scaling efficiency")
+    p.add_argument("--episode", action="store_true",
+                   help="whole-episode-jit headline (10 s closed loop, one "
+                   "XLA program) for both backends")
     p.add_argument("--mesh-sizes", default="1,2,4,8")
     p.add_argument("--virtual", action="store_true",
                    help="force an 8-device virtual CPU mesh (shape/harness run)")
@@ -392,6 +460,8 @@ def main() -> int:
 
     if args.sharded:
         out = run_sharded(args)
+    elif args.episode:
+        out = run_episode(args)
     elif args.all:
         out = run_all(args)
     else:
@@ -411,8 +481,8 @@ def _supervise(args) -> int:
         cmd += [f"--{flag}", str(getattr(args, flag))]
     cmd += ["--backend", args.backend, "--mesh-sizes", args.mesh_sizes,
             "--family", args.family]
-    for flag in ("extra", "antithetic", "mlp", "sharded", "virtual", "all",
-                 "update_baseline"):
+    for flag in ("extra", "antithetic", "mlp", "sharded", "episode", "virtual",
+                 "all", "update_baseline"):
         if getattr(args, flag):
             cmd.append("--" + flag.replace("_", "-"))
 

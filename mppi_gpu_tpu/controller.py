@@ -218,9 +218,11 @@ def pallas_solve(
         )
         sm = softmin_weights(S_pad, lambda_)
     else:
+        fam_name = pr.family_for(dyn, cost)
         plan = pr.make_plan(
             K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
-            family=pr.family_for(dyn, cost),
+            family=fam_name,
+            extra=pr._plan_extra(pr.FAMILIES[fam_name], cost),
         )
         packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
         S_pad = pr.pallas_rollout_costs(

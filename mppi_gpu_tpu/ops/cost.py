@@ -73,6 +73,12 @@ class ObstacleCost:
     radii: jax.Array     # (M,)
     penalty: jax.Array   # scalar
 
+    @property
+    def lambda_(self) -> jax.Array:
+        """Softmin temperature (delegated to the base quadratic cost so the
+        generic solve/kernel packing can treat every cost uniformly)."""
+        return self.base.lambda_
+
     def _obstacle(self, x: jax.Array) -> jax.Array:
         a = self.centers.shape[-1]
         q = x[..., None, :a]                                  # (..., 1, a)

@@ -105,6 +105,7 @@ class PallasPlan(NamedTuple):
                             # distinct keys (e.g. per-shard folded keys under
                             # a mesh) still decorrelate.
     family: str = "lti"     # fused (dynamics, cost) family — see FAMILIES
+    extra: int = 0          # family-specific static extra (obstacle count)
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -117,7 +118,7 @@ class PallasPlan(NamedTuple):
 
 def make_plan(
     K: int, T: int, action_dim: int, antithetic: bool = False, ou_beta: float = 0.0,
-    testmode: bool = False, family: str = "lti",
+    testmode: bool = False, family: str = "lti", extra: int = 0,
 ) -> PallasPlan:
     if not 1 <= action_dim <= SUB:
         raise ValueError(f"pallas backend supports 1<=action_dim<={SUB}, got {action_dim}")
@@ -131,7 +132,7 @@ def make_plan(
     return PallasPlan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
         Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
-        testmode=testmode, family=family,
+        testmode=testmode, family=family, extra=extra,
     )
 
 
@@ -338,7 +339,8 @@ class _LTIQuadFamily:
         )  # (SUB, NP)
 
     @classmethod
-    def build(cls, p_ref, scal_ref, KB: int):
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        KB = plan.KB
         """(carry0, step, final) closures on (SUB, KB) tiles. `step` returns
         the state-cost increment evaluated on x_{t+1} (reference
         src/point_mass_gpu.cu:107); the generic phase adds the λ·uᵀΣ⁻¹ε
@@ -409,7 +411,8 @@ class _PendulumFamily:
         )  # (SUB, NP)
 
     @classmethod
-    def build(cls, p_ref, scal_ref, KB: int):
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        KB = plan.KB
         dt = scal_ref[0, 0]
         col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
         w_ang, w_vel = col(cls._WANG), col(cls._WVEL)
@@ -444,7 +447,190 @@ class _PendulumFamily:
         return carry0, step, final
 
 
-FAMILIES = {f.name: f for f in (_LTIQuadFamily, _PendulumFamily)}
+class _CartPoleFamily:
+    """Cart-pole balance: RK2-midpoint of the classic coupled nonlinear
+    cart-pole ODE (models/cartpole.py) with the wrap-safe balance cost
+    (ops/cost.py CartPoleBalanceCost). First fused family with COUPLED
+    dynamics — state (p, θ, ṗ, θ̇) is four register tiles; the two VPU
+    divides per step (shared denominator structure) are the only ops the
+    other families don't have."""
+
+    name = "cartpole"
+    NP = 15  # sigma, inv_s, w0..w3, x0 (4), m_p·l, 1/(m_c+m_p), m_p/(m_c+m_p), l, g
+    _W0, _W1, _W2, _W3 = 2, 3, 4, 5
+    _X0P, _X0TH, _X0PD, _X0THD = 6, 7, 8, 9
+    _MPL, _INVTOT, _MPFRAC, _L, _G = 10, 11, 12, 13, 14
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
+        from mppi_gpu_tpu.ops.cost import CartPoleBalanceCost
+
+        return isinstance(dyn, CartPoleDynamics) and type(cost) is CartPoleBalanceCost
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        x0 = jnp.broadcast_to(x0, (4,)).astype(jnp.float32)
+        total = dyn.cart_mass + dyn.pole_mass
+        w = cost.w.astype(jnp.float32)
+        return jnp.stack(
+            [
+                tileA(sigma), tileA(cost.inv_s),
+                tileA(w[0]), tileA(w[1]), tileA(w[2]), tileA(w[3]),
+                tileA(x0[0]), tileA(x0[1]), tileA(x0[2]), tileA(x0[3]),
+                tileA(dyn.pole_mass * dyn.pole_length),
+                tileA(1.0 / total),
+                tileA(dyn.pole_mass / total),
+                tileA(dyn.pole_length),
+                tileA(dyn.gravity),
+            ],
+            axis=1,
+        )  # (SUB, NP)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        KB = plan.KB
+        dt = scal_ref[0, 0]
+        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
+        w0, w1, w2, w3 = col(cls._W0), col(cls._W1), col(cls._W2), col(cls._W3)
+        mpl, inv_tot = col(cls._MPL), col(cls._INVTOT)
+        mp_frac, l, g = col(cls._MPFRAC), col(cls._L), col(cls._G)
+
+        def accel(th, thd, u):
+            # (p̈, θ̈) — mirrors CartPoleDynamics.accel (models/cartpole.py)
+            s, c = jnp.sin(th), jnp.cos(th)
+            a = (u + mpl * thd * thd * s) * inv_tot
+            thdd = (g * s - c * a) / (l * (4.0 / 3.0 - mp_frac * c * c))
+            pdd = a - mpl * thdd * c * inv_tot
+            return pdd, thdd
+
+        def state_cost(p, th, pd, thd):
+            return (
+                w0 * p * p + w1 * (1.0 - jnp.cos(th))
+                + w2 * pd * pd + w3 * thd * thd
+            )
+
+        def carry0():
+            bc = lambda i: jnp.broadcast_to(col(i), (SUB, KB))  # noqa: E731
+            return (bc(cls._X0P), bc(cls._X0TH), bc(cls._X0PD), bc(cls._X0THD))
+
+        def step(state, u_eff):
+            p, th, pd, thd = state
+            # RK2 midpoint — mirrors CartPoleDynamics.step exactly
+            pdd1, thdd1 = accel(th, thd, u_eff)
+            th_m = th + 0.5 * dt * thd
+            thd_m = thd + 0.5 * dt * thdd1
+            pdd2, thdd2 = accel(th_m, thd_m, u_eff)
+            pd_m = pd + 0.5 * dt * pdd1
+            p = p + dt * pd_m
+            th = th + dt * thd_m
+            pd = pd + dt * pdd2
+            thd = thd + dt * thdd2
+            return (p, th, pd, thd), state_cost(p, th, pd, thd)
+
+        def final(state):
+            return state_cost(*state)
+
+        return carry0, step, final
+
+
+class _LTIObstacleFamily(_LTIQuadFamily):
+    """LTI point-mass + obstacle cost (ops/cost.py ObstacleCost): the
+    quadratic family plus a per-step spherical-obstacle penalty. The
+    indicator needs the per-group squared distance at STEP time (it is
+    nonlinear, so it cannot ride the deferred per-group reduction); each
+    obstacle costs one per-row diff² plus G small sublane sums per step.
+    The obstacle count M is static in the plan (plan.extra), so the kernel
+    carries exactly M obstacle terms — no padding loop."""
+
+    name = "lti-obstacle"
+    # columns: 0..7 = the LTI pack (sigma, inv_s, wq, wqd, gq, gqd, x0q,
+    # x0qd — inherited constants), 8 = penalty, then per obstacle m:
+    # 9+2m = center (group-tiled per-dim), 10+2m = radius² (uniform column)
+    _PEN = 8
+
+    @classmethod
+    def np_cols(cls, plan) -> int:
+        return 9 + 2 * plan.extra
+
+    @staticmethod
+    def plan_extra(cost) -> int:
+        return int(cost.centers.shape[0])
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.point_mass import PointMassLTI
+        from mppi_gpu_tpu.ops.cost import ObstacleCost
+
+        return (
+            isinstance(dyn, PointMassLTI)
+            and type(cost) is ObstacleCost
+            and type(cost.base) is QuadraticCost
+            # obstacles live in position space with one coord per action dim
+            and cost.centers.shape[-1] == dyn.action_dim
+        )
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        base = _LTIQuadFamily.pack(dyn, cost.base, x0, sigma, plan, tileA)
+        cols = [tileA(cost.penalty)]
+        for m in range(plan.extra):
+            cols.append(tileA(cost.centers[m]))
+            cols.append(tileA(cost.radii[m] ** 2))
+        return jnp.concatenate([base, jnp.stack(cols, axis=1)], axis=1)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: "PallasPlan"):
+        KB = plan.KB
+        A, G, M = plan.A, plan.G, plan.extra
+        carry0, lti_step, lti_final = _LTIQuadFamily.build(p_ref, scal_ref, plan)
+        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
+        pen = p_ref[0:1, cls._PEN:cls._PEN + 1]  # (1,1) uniform column
+        zero_row = jnp.zeros((1, KB), jnp.float32)
+
+        def obstacle_tile(q):
+            """(SUB, KB) penalty contributions: row g*A carries group g's
+            Σ_m penalty·[d²(q_g, c_m) < r_m²] (one row per group so the
+            end-of-phase group reduction counts it once)."""
+            hits = [jnp.zeros((1, KB), jnp.float32) for _ in range(G)]
+            for m in range(M):
+                c = col(9 + 2 * m)
+                r2 = p_ref[0:1, 10 + 2 * m:11 + 2 * m]  # (1,1)
+                d2 = (q - c) * (q - c)     # per-row (dim) contributions
+                for g in range(G):
+                    d2g = jnp.sum(d2[g * A:(g + 1) * A], axis=0, keepdims=True)
+                    hits[g] = hits[g] + (d2g < r2).astype(jnp.float32)
+            rows = []
+            for g in range(G):
+                rows.append(pen * hits[g])
+                rows.extend([zero_row] * (A - 1))
+            rows.extend([zero_row] * (SUB - G * A))
+            return jnp.concatenate(rows, axis=0)
+
+        def step(state, u_eff):
+            state, c_state = lti_step(state, u_eff)
+            return state, c_state + obstacle_tile(state[0])
+
+        def final(state):
+            return lti_final(state) + obstacle_tile(state[0])
+
+        return carry0, step, final
+
+
+FAMILIES = {
+    f.name: f
+    for f in (_LTIQuadFamily, _PendulumFamily, _CartPoleFamily, _LTIObstacleFamily)
+}
+
+
+def _np_cols(fam, plan: "PallasPlan") -> int:
+    """Parameter-pack width for this plan (families with variable-size
+    parameter sets — the obstacle list — override np_cols)."""
+    return fam.np_cols(plan) if hasattr(fam, "np_cols") else fam.NP
+
+
+def _plan_extra(fam, cost) -> int:
+    return fam.plan_extra(cost) if hasattr(fam, "plan_extra") else 0
 
 
 def family_for(dyn, cost) -> str:
@@ -475,7 +661,7 @@ def _rollout_phase_S(tile_i, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan)
     u_all = u_ref[:, :]
     sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
     lam_invs = lam * p_ref[:, _P_INVS:_P_INVS + 1]
-    carry0, fam_step, fam_final = fam.build(p_ref, scal_ref, KB)
+    carry0, fam_step, fam_final = fam.build(p_ref, scal_ref, plan)
     sid = _kernel_sid(ints_ref, plan)
 
     def body(t, carry):
@@ -634,15 +820,16 @@ def pallas_rollout_costs(
     deterministically with :func:`pallas_weighted_update` (same key).
     Pass `packed` (from :func:`pack_inputs`) to share packing across both
     kernels of one solve."""
+    fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
-        family=family_for(dyn, cost),
+        family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
     )
     ints, scal, u_tile, p = (
         packed if packed is not None
         else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     )
-    NP = FAMILIES[plan.family].NP
+    NP = _np_cols(FAMILIES[plan.family], plan)
     S = pl.pallas_call(
         functools.partial(_rollout_cost_kernel, plan=plan),
         grid=(plan.grid,),
@@ -683,15 +870,16 @@ def pallas_weighted_update(
     This is the reference's `update_act` T-loop of reduction ladders
     (src/point_mass.cu:384-480) as one single-launch kernel with zero HBM
     traffic for ε."""
+    fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
-        family=family_for(dyn, cost),
+        family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
     )
     ints, scal, u_tile, p = (
         packed if packed is not None
         else pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     )
-    NP = FAMILIES[plan.family].NP
+    NP = _np_cols(FAMILIES[plan.family], plan)
     dU_call = pl.pallas_call(
         functools.partial(_weighted_update_kernel, plan=plan),
         grid=(plan.grid,),
@@ -777,12 +965,13 @@ def pallas_noise_dump(
     ROLLOUT-RANK order — bit-identical to the stream kernels A/B consumed.
     Debug/dump path only (the reference always materializes ε,
     src/point_mass.cu:63; here it is opt-in)."""
+    fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
-        family=family_for(dyn, cost),
+        family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
     )
     ints, scal, u_tile, p = pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
-    NP = FAMILIES[plan.family].NP
+    NP = _np_cols(FAMILIES[plan.family], plan)
     e = pl.pallas_call(
         functools.partial(_noise_dump_kernel, plan=plan),
         grid=(plan.grid, plan.T),
@@ -907,9 +1096,10 @@ def pallas_fused_solve_core(
     """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
     no XLA ops or dispatch between the rollout, softmin, and update phases.
     λ is read from the packed scalars (cost.lambda_). Single-chip path only."""
+    fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
-        family=family_for(dyn, cost),
+        family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
     )
     ints, scal, u_tile, p = pack_inputs(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
@@ -922,7 +1112,7 @@ def pallas_fused_solve_core(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, FAMILIES[plan.family].NP), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, _np_cols(FAMILIES[plan.family], plan)), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             # phase-A tiles write their block; later phases keep re-flushing

@@ -255,6 +255,52 @@ assert ctrl_p.rollout_backend == "pallas", ctrl_p.rollout_backend
 res_p = ctrl_p.solve(x0_p, ctrl_p.init_action_seq(), ctrl_p.init_key())
 assert jnp.all(jnp.isfinite(jax.block_until_ready(res_p.action)))
 
+# --- cart-pole fused family on hardware: one-hot kernel A/B cross-check
+from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
+from mppi_gpu_tpu.ops.cost import CartPoleBalanceCost
+
+dyn_c = CartPoleDynamics.create(0.04, cart_mass=1.1, pole_mass=0.12, pole_length=0.45)
+cost_c = CartPoleBalanceCost(
+    w=jnp.array([0.5, 8.0, 0.1, 0.4]), lambda_=jnp.float32(0.9),
+    inv_s=jnp.full((1,), 1.1),
+)
+x0_c = jnp.array([0.1, 0.25, -0.05, 0.3])
+T_c = 16
+U_c = 0.4 * jnp.sin(0.3 * jnp.arange(T_c, dtype=jnp.float32)).reshape(T_c, 1)
+sig_c = jnp.full((1,), 1.5)
+K_c = 800
+S_c = pr.pallas_rollout_costs(dyn_c, cost_c, x0_c, U_c, key, sig_c, K=K_c)
+plan_c = pr.make_plan(K_c, T_c, 1, family="cartpole")
+for k in (0, K_c - 1):
+    w_c = jnp.zeros((plan_c.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = pr.pallas_weighted_update(dyn_c, cost_c, x0_c, U_c, key, sig_c, w_c, K=K_c)
+    S_ref = float(rollout_costs(dyn_c, cost_c, x0_c, U_c, eps_k[:, None, :])[0])
+    rel = abs(float(S_c[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 2e-4, f"cartpole k={k}: kernel {float(S_c[k])} scan {S_ref} rel={rel}"
+
+# --- obstacle fused family on hardware: penalty must fire and match scan
+from mppi_gpu_tpu.ops.cost import ObstacleCost
+
+cost_o = ObstacleCost(
+    base=cost,  # the 3-axis quadratic from the top of this script
+    centers=jnp.array([[0.15, -0.15, 0.1], [0.6, 0.3, 0.4]]),
+    radii=jnp.array([0.25, 0.3]),
+    penalty=jnp.float32(50.0),
+)
+assert pr.family_for(dyn, cost_o) == "lti-obstacle"
+S_o = pr.pallas_rollout_costs(dyn, cost_o, x0, U, key, sigma, K=K)
+plan_o = pr.make_plan(K, T, A, family="lti-obstacle", extra=2)
+hit_any = False
+for k in (0, 7, K - 1):
+    w_o = jnp.zeros((plan_o.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = pr.pallas_weighted_update(dyn, cost_o, x0, U, key, sigma, w_o, K=K)
+    S_ref = float(rollout_costs(dyn, cost_o, x0, U, eps_k[:, None, :])[0])
+    S_plain = float(rollout_costs(dyn, cost, x0, U, eps_k[:, None, :])[0])
+    rel = abs(float(S_o[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 1e-4, f"obstacle k={k}: kernel {float(S_o[k])} scan {S_ref} rel={rel}"
+    hit_any = hit_any or (S_ref - S_plain) >= 50.0
+assert hit_any, "obstacle penalty never fired on the probed rollouts"
+
 # --- whole-episode jit x pallas backend: the two headline modes compose —
 # a short closed-loop episode (solve + world physics per cycle, one XLA
 # program) with the FUSED kernel inside the episode scan

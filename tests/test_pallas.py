@@ -250,6 +250,128 @@ def test_interpret_testmode_pendulum_fused_solve():
     np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
 
 
+def _setup_cartpole(T=12, K=300):
+    from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
+    from mppi_gpu_tpu.ops.cost import CartPoleBalanceCost
+
+    dyn = CartPoleDynamics.create(0.04, cart_mass=1.1, pole_mass=0.12,
+                                  pole_length=0.45, gravity=9.81)
+    cost = CartPoleBalanceCost(
+        w=jnp.asarray([0.5, 8.0, 0.1, 0.4]),
+        lambda_=jnp.float32(0.9), inv_s=jnp.full((1,), 1.1),
+    )
+    x0 = jnp.asarray([0.1, 0.25, -0.05, 0.3])  # off-center, pole leaning
+    U = 0.4 * jnp.sin(0.3 * jnp.arange(T, dtype=jnp.float32)).reshape(T, 1)
+    sigma = jnp.full((1,), 1.5)
+    return dyn, cost, x0, U, sigma
+
+
+@pytest.mark.parametrize("ou,anti", [(0.0, False), (0.45, False), (0.0, True)])
+def test_interpret_testmode_cartpole_full_kernel_math(ou, anti):
+    """Third fused family: coupled nonlinear cart-pole (RK2, two divides per
+    step) through the same generic kernels, verified on CPU against the scan
+    oracle with identical pseudo-noise."""
+    K, T = 300, 12
+    dyn, cost, x0, U, sigma = _setup_cartpole(T, K)
+    key = jax.random.key(8)
+    plan = pr.make_plan(K, T, 1, antithetic=anti, ou_beta=ou, testmode=True,
+                        family="cartpole")
+    eps_ref = pr.fake_noise_tensor(plan, sigma, ou_beta=ou, key=key)
+
+    S = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, antithetic=anti, ou_beta=ou,
+        interpret=True, testmode=True,
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S[:K]), np.asarray(S_oracle), rtol=5e-5)
+    assert np.all(np.asarray(S[K:]) > 1e37)
+
+    w = jax.random.dirichlet(key, jnp.ones((K,)))
+    w_pad = jnp.zeros((plan.Kpad,)).at[:K].set(w)
+    dU = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, w_pad, K=K, antithetic=anti, ou_beta=ou,
+        interpret=True, testmode=True,
+    )
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], w)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def test_interpret_testmode_cartpole_fused_solve():
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    K, T = 300, 10
+    dyn, cost, x0, U, sigma = _setup_cartpole(T, K)
+    key, lam = jax.random.key(2), jnp.float32(0.9)
+    plan = pr.make_plan(K, T, 1, testmode=True, family="cartpole")
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(S_oracle), rtol=5e-5)
+    sm = softmin_weights(Sf, lam)
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], sm.weights[:K])
+    np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def _setup_obstacle(T=12, K=300, A=2, M=3):
+    from mppi_gpu_tpu.ops.cost import ObstacleCost
+
+    dyn, base, x0, U, sigma = _setup(A, T, K)
+    centers = jnp.linspace(-0.5, 0.8, M * A).reshape(M, A)
+    # first obstacle sits just ahead of the start position so rollouts
+    # actually cross it (keeps the penalty term non-vacuous for every A)
+    centers = centers.at[0].set(x0[:A] + 0.05)
+    cost = ObstacleCost(
+        base=base,
+        centers=centers,
+        radii=jnp.linspace(0.15, 0.4, M),
+        penalty=jnp.float32(50.0),
+    )
+    # wide noise so rollouts actually cross obstacles
+    return dyn, cost, x0, U, jnp.full((A,), 0.6)
+
+
+@pytest.mark.parametrize("A,M", [(2, 3), (3, 1), (1, 5)])
+def test_interpret_testmode_obstacle_full_kernel_math(A, M):
+    """Fourth fused family: LTI + spherical-obstacle penalty. The indicator
+    needs per-group squared distances at step time — the only family math
+    that cannot ride the deferred group reduction — verified against the
+    scan-path ObstacleCost with identical pseudo-noise."""
+    K, T = 300, 12
+    dyn, cost, x0, U, sigma = _setup_obstacle(T, K, A, M)
+    key = jax.random.key(13)
+    assert pr.family_for(dyn, cost) == "lti-obstacle"
+    plan = pr.make_plan(K, T, A, testmode=True, family="lti-obstacle", extra=M)
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+
+    S = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, interpret=True, testmode=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S[:K]), np.asarray(S_oracle), rtol=3e-5)
+    assert np.all(np.asarray(S[K:]) > 1e37)
+    # the penalty must actually fire for this setup (else the test is vacuous)
+    S_plain = rollout_costs(dyn, cost.base, x0, U, eps_ref[:, :K, :])
+    assert float(jnp.max(S_oracle - S_plain)) >= 50.0
+
+    w = jax.random.dirichlet(key, jnp.ones((K,)))
+    w_pad = jnp.zeros((plan.Kpad,)).at[:K].set(w)
+    dU = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, w_pad, K=K, interpret=True, testmode=True
+    )
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], w)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def test_obstacle_auto_backend_resolution():
+    from mppi_gpu_tpu.controller import resolve_backend
+
+    dyn, cost, *_ = _setup_obstacle()
+    assert resolve_backend("auto", dyn, cost, platform="tpu") == "pallas"
+    assert resolve_backend("auto", dyn, cost, platform="cpu") == "scan"
+
+
 def test_pendulum_auto_backend_resolution():
     """'auto' resolves pendulum+swing-up to the fused kernels on TPU and to
     scan elsewhere; the controller path accepts the pallas backend."""
