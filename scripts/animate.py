@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Render a closed-loop trajectory CSV as an animation — the offline analog
+of the reference's live GLFW/OpenGL viewer (reference PointMassEnv.cpp:141-169
+renders MuJoCo scenes at 60 fps with an interactive camera; headless TPU pods
+have no display, so this replays the recorded episode as a GIF instead).
+
+    python scripts/animate.py traj.csv -c configs/point_mass2d.yaml -o out.gif
+
+Scene layout per env family (from the config's `env` key):
+
+* ``point_mass{1,2,3}d`` — the mass as a dot in the arena, trail behind it,
+  goal as a star, executed action as an arrow, config obstacles as circles.
+  3-D uses a matplotlib 3-D projection.
+* ``pendulum`` — rod from the pivot; θ=0 is upright (the swing-up target).
+* ``cartpole`` — cart rectangle on a rail + pole; θ=0 is upright.
+
+The CSV is the one `mppi_gpu_tpu.cli -t` / `write_traj_csv` produces
+(columns time, x[i], u[i] — reference to_csv_traj, src/main.cu:32-57).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.animation as manim
+import matplotlib.pyplot as plt
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from mppi_gpu_tpu.io.csvio import read_csv_columns
+
+
+def _load(path):
+    cols = read_csv_columns(path)
+    s = sum(1 for k in cols if k.startswith("x["))
+    a = sum(1 for k in cols if k.startswith("u["))
+    t = cols["time"]
+    xs = np.stack([cols[f"x[{i}]"] for i in range(s)], axis=1)
+    us = np.stack([cols[f"u[{i}]"] for i in range(a)], axis=1)
+    return t, xs, us
+
+
+def _pad_limits(lo: float, hi: float, frac: float = 0.15) -> tuple[float, float]:
+    span = max(hi - lo, 0.5)
+    return lo - frac * span, hi + frac * span
+
+
+class _PointMassScene:
+    """1/2/3-D point mass: dot + trail + goal star + action arrow +
+    obstacle circles (2-D/3-D obstacles drawn in the first two coords)."""
+
+    def __init__(self, ax, xs, us, goal, obstacles, dim):
+        self.dim = dim
+        self.xs, self.us = xs, us
+        if dim == 1:
+            # embed on a horizontal line: (q, 0)
+            self.pos = np.stack([xs[:, 0], np.zeros(len(xs))], axis=1)
+            g = None if goal is None else np.array([goal[0], 0.0])
+        else:
+            self.pos = xs[:, :2] if dim == 2 else xs[:, :3]
+            g = None if goal is None else np.asarray(goal[:dim], float)
+        p = self.pos
+        if dim == 3:
+            ax.set(xlabel="q0", ylabel="q1", zlabel="q2")
+            for axis, set_lim in zip(range(3), (ax.set_xlim, ax.set_ylim, ax.set_zlim)):
+                vals = [p[:, axis].min(), p[:, axis].max()]
+                if g is not None:
+                    vals += [g[axis]]
+                set_lim(*_pad_limits(min(vals), max(vals)))
+        else:
+            vals0 = [p[:, 0].min(), p[:, 0].max()] + ([g[0]] if g is not None else [])
+            vals1 = [p[:, 1].min(), p[:, 1].max()] + ([g[1]] if g is not None else [])
+            ax.set_xlim(*_pad_limits(min(vals0), max(vals0)))
+            ax.set_ylim(*_pad_limits(min(vals1), max(vals1)))
+            ax.set_aspect("equal", adjustable="box")
+            ax.set(xlabel="q0", ylabel="q1" if dim == 2 else "")
+            for ob in obstacles:
+                ax.add_patch(
+                    plt.Circle(tuple(ob[:2]) if dim >= 2 else (ob[0], 0.0), ob[-1],
+                               color="crimson", alpha=0.25, zorder=1)
+                )
+        if g is not None:
+            star = dict(marker="*", color="goldenrod", markersize=16, zorder=3)
+            ax.plot(*g, linestyle="", **star)
+        (self.trail,) = ax.plot([], [], *([[]] if dim == 3 else []),
+                                lw=1.0, color="steelblue", alpha=0.7, zorder=2)
+        (self.dot,) = ax.plot([], [], *([[]] if dim == 3 else []),
+                              marker="o", color="navy", markersize=9, zorder=4)
+        self.arrow = None
+        self.ax = ax
+
+    def update(self, i):
+        p = self.pos
+        if self.dim == 3:
+            self.trail.set_data_3d(p[: i + 1, 0], p[: i + 1, 1], p[: i + 1, 2])
+            self.dot.set_data_3d([p[i, 0]], [p[i, 1]], [p[i, 2]])
+        else:
+            self.trail.set_data(p[: i + 1, 0], p[: i + 1, 1])
+            self.dot.set_data([p[i, 0]], [p[i, 1]])
+            if self.arrow is not None:
+                self.arrow.remove()
+                self.arrow = None
+            if i < len(self.us):
+                u = self.us[i]
+                du = (u[0], 0.0) if self.dim == 1 else (u[0], u[1])
+                self.arrow = self.ax.annotate(
+                    "", xytext=p[i, :2] if self.dim >= 2 else (p[i, 0], 0.0),
+                    xy=(p[i, 0] + 0.25 * du[0],
+                        (p[i, 1] if self.dim >= 2 else 0.0) + 0.25 * du[1]),
+                    arrowprops=dict(arrowstyle="->", color="darkorange", lw=1.6),
+                )
+        return [self.trail, self.dot]
+
+
+class _PendulumScene:
+    """Rod from the pivot; state x = (θ, θ̇) with θ=0 upright."""
+
+    def __init__(self, ax, xs, us, length=1.0):
+        self.th = xs[:, 0]
+        self.l = length
+        lim = 1.3 * length
+        ax.set_xlim(-lim, lim)
+        ax.set_ylim(-lim, lim)
+        ax.set_aspect("equal")
+        ax.plot(0, 0, marker="o", color="0.3", markersize=5)
+        ax.plot(0, length, marker="*", color="goldenrod", markersize=14)
+        (self.rod,) = ax.plot([], [], lw=3, color="navy", solid_capstyle="round")
+        (self.bob,) = ax.plot([], [], marker="o", color="steelblue", markersize=12)
+
+    def update(self, i):
+        # θ measured from upright: tip = (l sinθ, l cosθ)
+        x, y = self.l * np.sin(self.th[i]), self.l * np.cos(self.th[i])
+        self.rod.set_data([0, x], [0, y])
+        self.bob.set_data([x], [y])
+        return [self.rod, self.bob]
+
+
+class _CartPoleScene:
+    """Cart on a rail + pole; state x = (p, θ, ṗ, θ̇), θ=0 upright."""
+
+    def __init__(self, ax, xs, us, pole_len=1.0):
+        self.p, self.th = xs[:, 0], xs[:, 1]
+        self.l = pole_len
+        lo, hi = _pad_limits(self.p.min() - 0.5, self.p.max() + 0.5)
+        ax.set_xlim(lo, hi)
+        ax.set_ylim(-0.6, 1.6 * pole_len + 0.4)
+        ax.set_aspect("equal", adjustable="box")
+        ax.axhline(0, color="0.6", lw=1)
+        self.cart = plt.Rectangle((0, -0.1), 0.4, 0.2, color="0.3", zorder=3)
+        ax.add_patch(self.cart)
+        (self.pole,) = ax.plot([], [], lw=3, color="navy",
+                               solid_capstyle="round", zorder=4)
+
+    def update(self, i):
+        p, th = self.p[i], self.th[i]
+        self.cart.set_xy((p - 0.2, -0.1))
+        # full pole length = 2l (pole_length is the half-length)
+        tip = (p + 2 * self.l * np.sin(th), 2 * self.l * np.cos(th))
+        self.pole.set_data([p, tip[0]], [0, tip[1]])
+        return [self.pole]
+
+
+def make_animation(t, xs, us, cfg=None, env: str | None = None,
+                   stride: int = 1, fps: int = 30):
+    """Build (fig, FuncAnimation) for the episode. `cfg` (MPPIConfig) supplies
+    env name, goal, and obstacles when given; `env` overrides the family."""
+    env = env or (cfg.env if cfg is not None else "point_mass2d")
+    goal = None if cfg is None else np.asarray(cfg.goal, float)
+    obstacles = () if cfg is None else cfg.obstacles
+
+    is3d = env.startswith("point_mass3")
+    fig = plt.figure(figsize=(6.4, 6.4))
+    ax = fig.add_subplot(111, projection="3d" if is3d else None)
+
+    if env.startswith("pendulum"):
+        scene = _PendulumScene(ax, xs, us)
+    elif env.startswith("cartpole"):
+        scene = _CartPoleScene(ax, xs, us)
+    else:
+        dim = 3 if is3d else (1 if env.startswith("point_mass1") else 2)
+        scene = _PointMassScene(ax, xs, us, goal, obstacles, dim)
+
+    frames = range(0, len(xs), max(1, stride))
+    title = ax.set_title("")
+
+    def step(i):
+        title.set_text(f"{env}   t = {t[min(i, len(t) - 1)]:6.3f} s")
+        return scene.update(i) + [title]
+
+    anim = manim.FuncAnimation(fig, step, frames=frames,
+                               interval=1000.0 / fps, blit=False)
+    return fig, anim
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("csv", help="trajectory CSV (time, x[i], u[i])")
+    p.add_argument("-c", "--config", default=None,
+                   help="YAML config (env family, goal, obstacles)")
+    p.add_argument("--env", default=None,
+                   help="env family override (point_mass{1,2,3}d|pendulum|cartpole)")
+    p.add_argument("-o", "--out", default=None, help="output GIF (default: <csv>.gif)")
+    p.add_argument("--fps", type=int, default=30)
+    p.add_argument("--stride", type=int, default=1,
+                   help="render every Nth recorded step")
+    args = p.parse_args(argv)
+
+    t, xs, us = _load(args.csv)
+    cfg = None
+    if args.config:
+        from mppi_gpu_tpu.config import load_config
+
+        cfg = load_config(args.config)
+    fig, anim = make_animation(t, xs, us, cfg=cfg, env=args.env,
+                               stride=args.stride, fps=args.fps)
+    out = args.out or (os.path.splitext(args.csv)[0] + ".gif")
+    anim.save(out, writer=manim.PillowWriter(fps=args.fps))
+    plt.close(fig)
+    n_frames = len(range(0, len(xs), max(1, args.stride)))
+    print(f"wrote {out} ({n_frames} frames @ {args.fps} fps)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

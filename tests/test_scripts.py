@@ -90,3 +90,42 @@ def test_plot_miss(tmp_path):
     mod = _load_script("plot_miss.py")
     rc = mod.main([str(path), "-o", str(tmp_path / "m.png")])
     assert rc == 0 and (tmp_path / "m.png").exists()
+
+
+@pytest.mark.parametrize(
+    "env,s,a",
+    [("point_mass1d", 2, 1), ("point_mass2d", 4, 2), ("point_mass3d", 6, 3),
+     ("pendulum", 2, 1), ("cartpole", 4, 1)],
+)
+def test_animate_all_scene_families(tmp_path, env, s, a):
+    """The offline viewer (scripts/animate.py — substitute for the
+    reference's GLFW render loop, PointMassEnv.cpp:141-169) writes a
+    playable GIF for every env family."""
+    path = tmp_path / "traj.csv"
+    n = 8
+    write_traj_csv(
+        path, np.linspace(0, 1, n),
+        0.3 * np.random.default_rng(2).normal(size=(n, s)),
+        0.3 * np.random.default_rng(3).normal(size=(n, a)),
+    )
+    mod = _load_script("animate.py")
+    out = tmp_path / "ep.gif"
+    rc = mod.main([str(path), "--env", env, "-o", str(out), "--stride", "2",
+                   "--fps", "10"])
+    assert rc == 0 and out.exists() and out.stat().st_size > 500
+
+
+def test_animate_with_config_obstacles(tmp_path):
+    """Config-driven path: goal star + obstacle circles from the YAML."""
+    path = tmp_path / "traj.csv"
+    n = 6
+    write_traj_csv(
+        path, np.linspace(0, 1, n),
+        0.3 * np.random.default_rng(4).normal(size=(n, 4)),
+        0.3 * np.random.default_rng(5).normal(size=(n, 2)),
+    )
+    mod = _load_script("animate.py")
+    cfg2d = os.path.join(ROOT, "configs", "point_mass2d.yaml")
+    out = tmp_path / "ep2.gif"
+    rc = mod.main([str(path), "-c", cfg2d, "-o", str(out)])
+    assert rc == 0 and out.exists()
