@@ -67,36 +67,16 @@ def _point_mass_mjcf(p: WorldParams) -> str:
 """
 
 
-class MujocoPointMassWorld:
-    """Host-loop world with the reference-env API (`simulate(u) -> done`,
-    `get_x()`), backed by `mujoco.mj_step`. Episode semantics mirror the
-    reference env: one warm-up step at reset (PointMassEnv.cpp:94), done
-    once sim time passes `sim_end`, checked BEFORE stepping."""
-
-    def __init__(self, params: WorldParams, xml_path: str | None = None) -> None:
-        import mujoco
-
-        self._mujoco = mujoco
-        self.params = params
-        if xml_path is not None:
-            self.m = mujoco.MjModel.from_xml_path(str(xml_path))
-        else:
-            self.m = mujoco.MjModel.from_xml_string(_point_mass_mjcf(params))
-        if self.m.nu != params.n_axes or self.m.nq != params.n_axes:
-            raise ValueError(
-                f"MuJoCo model has nq={self.m.nq}, nu={self.m.nu}; expected "
-                f"{params.n_axes} slide joints with one motor each"
-            )
-        self.d = mujoco.MjData(self.m)
-        self.reset()
-
-    # -- reference-env API --------------------------------------------------
-    def reset(self) -> None:
-        self._mujoco.mj_resetData(self.m, self.d)
-        self._mujoco.mj_step(self.m, self.d)  # warm-up (PointMassEnv.cpp:94)
+class _MujocoWorldBase:
+    """Shared host-loop machinery for the MuJoCo-backed worlds: the
+    reference-env API (`simulate(u) -> done`, `get_x()`) over `mj_step`,
+    with the reference's episode semantics — done once sim time passes
+    `sim_end`, checked BEFORE stepping (PointMassEnv.cpp:115-139). The state
+    vector is [qpos, qvel] (PointMassEnv.cpp:190-198), which matches every
+    family's analytic state layout by joint declaration order."""
 
     def simulate(self, u: np.ndarray) -> bool:
-        """One control cycle: hold `u`, advance 1/60 s of sim time
+        """One control cycle: hold `u`, advance `control_period` of sim time
         (PointMassEnv.cpp:115-139)."""
         if self.d.time >= self.params.sim_end:
             return True
@@ -121,9 +101,144 @@ class MujocoPointMassWorld:
 
     def set_state(self, x: np.ndarray, time: float) -> None:
         """Restore from a checkpoint: x = [qpos, qvel], sim time."""
-        n = self.params.n_axes
+        n = self.m.nq
         x = np.asarray(x, np.float64)
         self.d.qpos[:] = x[:n]
         self.d.qvel[:] = x[n:]
         self.d.time = float(time)
+        self._mujoco.mj_forward(self.m, self.d)
+
+
+class MujocoPointMassWorld(_MujocoWorldBase):
+    """Real-MuJoCo point mass — the very plant the reference simulates
+    (reference src/PointMassEnv.cpp). Reset does one warm-up step
+    (PointMassEnv.cpp:94)."""
+
+    def __init__(self, params: WorldParams, xml_path: str | None = None) -> None:
+        import mujoco
+
+        self._mujoco = mujoco
+        self.params = params
+        if xml_path is not None:
+            self.m = mujoco.MjModel.from_xml_path(str(xml_path))
+        else:
+            self.m = mujoco.MjModel.from_xml_string(_point_mass_mjcf(params))
+        if self.m.nu != params.n_axes or self.m.nq != params.n_axes:
+            raise ValueError(
+                f"MuJoCo model has nq={self.m.nq}, nu={self.m.nu}; expected "
+                f"{params.n_axes} slide joints with one motor each"
+            )
+        self.d = mujoco.MjData(self.m)
+        self.reset()
+
+    # -- reference-env API --------------------------------------------------
+    def reset(self) -> None:
+        self._mujoco.mj_resetData(self.m, self.d)
+        self._mujoco.mj_step(self.m, self.d)  # warm-up (PointMassEnv.cpp:94)
+
+
+def _pendulum_mjcf(p) -> str:
+    """Point-mass pendulum on a hinge, matching PendulumWorld's ODE
+    (envs/pendulum_world.py): θ measured from upright (+z), I = m·l² via an
+    explicit near-zero body inertia at the tip, joint damping b = c·m·l² so
+    MuJoCo's −b·θ̇ torque reproduces the analytic −c·θ̇ angular-acceleration
+    term, direct torque actuator clamped at ±max_torque."""
+    b = p.damping * p.mass * p.length**2
+    return f"""
+<mujoco model="tpu-mppi pendulum (generated)">
+    <compiler angle="radian"/>
+    <option gravity="0 0 -{p.gravity}" integrator="RK4" timestep="{p.timestep}"/>
+    <worldbody>
+        <body name="pole" pos="0 0 0">
+            <joint name="hinge" type="hinge" axis="0 1 0" damping="{b}"/>
+            <geom type="capsule" fromto="0 0 0 0 0 {p.length}" size="0.02"
+                  mass="0" contype="0" conaffinity="0"/>
+            <inertial pos="0 0 {p.length}" mass="{p.mass}"
+                      diaginertia="1e-9 1e-9 1e-9"/>
+        </body>
+    </worldbody>
+    <actuator>
+        <motor joint="hinge" gear="1" ctrllimited="true"
+               ctrlrange="-{p.max_torque} {p.max_torque}"/>
+    </actuator>
+</mujoco>
+"""
+
+
+def _cartpole_mjcf(p) -> str:
+    """Cart + pole matching CartPoleWorld's Barto ODE
+    (envs/cartpole_world.py): slide-joint cart of mass m_c, hinge pole
+    modelled as a uniform rod of half-length l (com at l, inertia about com
+    m_p·l²/3 — exactly the 4/3 factor in the analytic denominator), no
+    friction/damping, force actuator clamped at ±max_force. The analytic
+    world's hard ±track_limit clamp maps to a (soft-constraint) joint
+    range."""
+    i_rod = p.pole_mass * p.pole_length**2 / 3.0
+    return f"""
+<mujoco model="tpu-mppi cart-pole (generated)">
+    <compiler angle="radian"/>
+    <option gravity="0 0 -{p.gravity}" integrator="RK4" timestep="{p.timestep}"/>
+    <worldbody>
+        <body name="cart" pos="0 0 0">
+            <joint name="slide" type="slide" axis="1 0 0" limited="true"
+                   range="-{p.track_limit} {p.track_limit}"/>
+            <geom type="box" size="0.1 0.05 0.05" mass="{p.cart_mass}"
+                  contype="0" conaffinity="0"/>
+            <body name="pole" pos="0 0 0">
+                <joint name="hinge" type="hinge" axis="0 1 0"/>
+                <geom type="capsule" fromto="0 0 0 0 0 {2 * p.pole_length}"
+                      size="0.02" mass="0" contype="0" conaffinity="0"/>
+                <inertial pos="0 0 {p.pole_length}" mass="{p.pole_mass}"
+                          diaginertia="{i_rod} {i_rod} 1e-9"/>
+            </body>
+        </body>
+    </worldbody>
+    <actuator>
+        <motor joint="slide" gear="1" ctrllimited="true"
+               ctrlrange="-{p.max_force} {p.max_force}"/>
+    </actuator>
+</mujoco>
+"""
+
+
+class MujocoPendulumWorld(_MujocoWorldBase):
+    """Real-MuJoCo pendulum plant (no reference analog — the reference is
+    point-mass only; this extends its MuJoCo-as-ground-truth pattern to the
+    swing-up family). Reset matches PendulumWorld.reset: state unevolved at
+    (init_theta, 0), sim clock at one physics step."""
+
+    def __init__(self, params) -> None:
+        import mujoco
+
+        self._mujoco = mujoco
+        self.params = params
+        self.m = mujoco.MjModel.from_xml_string(_pendulum_mjcf(params))
+        self.d = mujoco.MjData(self.m)
+        self.reset()
+
+    def reset(self) -> None:
+        self._mujoco.mj_resetData(self.m, self.d)
+        self.d.qpos[0] = self.params.init_theta
+        self.d.time = self.params.timestep
+        self._mujoco.mj_forward(self.m, self.d)
+
+
+class MujocoCartPoleWorld(_MujocoWorldBase):
+    """Real-MuJoCo cart-pole plant (no reference analog; same pattern).
+    Reset matches CartPoleWorld.reset: pole tilted at init_theta, at rest,
+    sim clock at one physics step."""
+
+    def __init__(self, params) -> None:
+        import mujoco
+
+        self._mujoco = mujoco
+        self.params = params
+        self.m = mujoco.MjModel.from_xml_string(_cartpole_mjcf(params))
+        self.d = mujoco.MjData(self.m)
+        self.reset()
+
+    def reset(self) -> None:
+        self._mujoco.mj_resetData(self.m, self.d)
+        self.d.qpos[1] = self.params.init_theta
+        self.d.time = self.params.timestep
         self._mujoco.mj_forward(self.m, self.d)

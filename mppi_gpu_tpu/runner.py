@@ -65,14 +65,17 @@ def _make_world(cfg, params, backend: str) -> Any:
     if backend == "jax":
         return _JaxWorldAdapter(make_jax_world(cfg, params))
     if backend == "mujoco":
-        # the reference's actual plant (mj_step; optional dependency) — the
-        # point-mass family is what the reference simulates
-        if is_cartpole_env(cfg.env) or is_pendulum_env(cfg.env):
-            raise ValueError(
-                "world backend 'mujoco' covers the point-mass family "
-                "(the reference's env); use jax|native for "
-                f"'{cfg.env}'"
-            )
+        # the real MuJoCo engine as the plant (optional dependency) — the
+        # reference's actual ground truth for the point-mass family
+        # (PointMassEnv.cpp:53-61), extended to every env family here
+        if is_cartpole_env(cfg.env):
+            from mppi_gpu_tpu.envs.mujoco_world import MujocoCartPoleWorld
+
+            return MujocoCartPoleWorld(params)
+        if is_pendulum_env(cfg.env):
+            from mppi_gpu_tpu.envs.mujoco_world import MujocoPendulumWorld
+
+            return MujocoPendulumWorld(params)
         from mppi_gpu_tpu.envs.mujoco_world import MujocoPointMassWorld
 
         xml = str(cfg.env) if str(cfg.env).endswith(".xml") else None
