@@ -110,13 +110,17 @@ def run_mismatch_config(
     *,
     n_steps: int = 100,
     seed: int = 0,
+    world_backend: str = "jax",
 ) -> MismatchResult:
     """Model-vs-world mismatch for the non-point-mass families (pendulum,
     cart-pole): drive the SAME random action sequence through the config's
     dynamics model (one step per input, at cfg.dt) and through the
     ground-truth world (raw physics steps covering cfg.dt of sim time per
-    input). For these families model and world share the ODE, so the gap
-    isolates the integration-level mismatch (coarse RK2 vs fine RK4)."""
+    input). With the jax world, model and world share the ODE, so the gap
+    isolates the integration-level mismatch (coarse RK2 vs fine RK4); with
+    `world_backend="mujoco"` the plant is the real engine, the same
+    measurement the reference's miss tool makes (model_missmatch.cpp:49-71,
+    there point-mass-only)."""
     import jax as _jax
 
     from mppi_gpu_tpu.envs import make_jax_world, params_for_config
@@ -132,11 +136,44 @@ def run_mismatch_config(
     params = params_for_config(cfg)
     world = make_jax_world(cfg, params)
     phys_steps = max(1, round(cfg.dt / params.timestep))
+    ws0 = world.reset()
+    x0 = jnp.asarray(ws0.x)
+
+    if world_backend in ("native", "mujoco"):
+        from mppi_gpu_tpu.envs import is_cartpole_env
+
+        if world_backend == "native":
+            from mppi_gpu_tpu.envs.native import (
+                NativeCartPoleWorld,
+                NativePendulumWorld,
+            )
+
+            cls = NativeCartPoleWorld if is_cartpole_env(cfg.env) else NativePendulumWorld
+        else:
+            from mppi_gpu_tpu.envs.mujoco_world import (
+                MujocoCartPoleWorld,
+                MujocoPendulumWorld,
+            )
+
+            cls = MujocoCartPoleWorld if is_cartpole_env(cfg.env) else MujocoPendulumWorld
+        mw = cls(params)
+        traj_world = np.empty((n_steps + 1, len(np.asarray(x0))), np.float32)
+        traj_world[0] = mw.get_x()
+        for t in range(n_steps):
+            for _ in range(phys_steps):
+                mw.step(us[t])
+            traj_world[t + 1] = mw.get_x()
+        xw_full = jnp.asarray(traj_world)
+    else:
+        if world_backend != "jax":
+            raise ValueError(
+                f"world backend {world_backend!r} not available for "
+                f"'{cfg.env}' (use jax|native|mujoco)"
+            )
+        xw_full = None
 
     @_jax.jit
     def rollouts(us):
-        ws0 = world.reset()
-
         def wbody(ws, u):
             for _ in range(phys_steps):
                 ws = world.physics_step(ws, u)
@@ -148,14 +185,15 @@ def run_mismatch_config(
             x1 = dyn.step(x, u)
             return x1, x1
 
-        _, xm = _jax.lax.scan(mbody, jnp.asarray(ws0.x), us)
-        x0 = jnp.asarray(ws0.x)[None]
+        _, xm = _jax.lax.scan(mbody, x0, us)
         return (
-            jnp.concatenate([x0, xm], axis=0),
-            jnp.concatenate([x0, xw], axis=0),
+            jnp.concatenate([x0[None], xm], axis=0),
+            jnp.concatenate([x0[None], xw], axis=0),
         )
 
     xm, xw = rollouts(jnp.asarray(us))
+    if xw_full is not None:
+        xw = xw_full
     return MismatchResult(
         traj_model=np.asarray(xm), traj_world=np.asarray(xw), us=us
     )
@@ -186,9 +224,12 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = load_config(args.config) if args.config else None
     if cfg is not None and ("pendulum" in cfg.env or "cartpole" in cfg.env):
-        # non-point-mass families share the ODE between model and world;
-        # the harness isolates the integrator-level mismatch
-        res = run_mismatch_config(cfg, n_steps=args.steps, seed=args.seed)
+        # non-point-mass families: the jax world isolates the
+        # integrator-level mismatch (same ODE, finer RK4); --world native
+        # drives the C++ twin, --world mujoco the real engine
+        res = run_mismatch_config(
+            cfg, n_steps=args.steps, seed=args.seed, world_backend=args.world
+        )
     else:
         n_axes, dt = (cfg.action_dim, cfg.dt) if cfg else (args.axes, 0.1)
         res = run_mismatch(

@@ -210,6 +210,24 @@ def test_family_mujoco_closed_loop(env):
     np.testing.assert_allclose(res_mj.xs, res_jx.xs, atol=1e-2)
 
 
+@pytest.mark.parametrize("env", ["pendulum", "cartpole"])
+def test_family_mismatch_three_backends_agree(env):
+    """`miss` for the dynamic families across all three world backends: the
+    same open-loop input through the jax, native-C++, and real-MuJoCo plants
+    must produce the same trajectory (plant-vs-plant gap ~1e-6), while the
+    model-vs-plant RMSE — the quantity the harness measures — is identical
+    across backends."""
+    from mppi_gpu_tpu.miss import run_mismatch_config
+
+    cfg = load_config(f"configs/{env}.yaml")
+    rj = run_mismatch_config(cfg, n_steps=30, world_backend="jax")
+    rn = run_mismatch_config(cfg, n_steps=30, world_backend="native")
+    rm = run_mismatch_config(cfg, n_steps=30, world_backend="mujoco")
+    assert np.abs(rn.traj_world - rm.traj_world).max() < 1e-4
+    assert np.abs(rj.traj_world - rm.traj_world).max() < 1e-4
+    assert abs(rj.position_rmse - rm.position_rmse) < 1e-4
+
+
 def test_family_mujoco_checkpoint_restore():
     from mppi_gpu_tpu.envs.cartpole_world import CartPoleParams
     from mppi_gpu_tpu.envs.mujoco_world import MujocoCartPoleWorld
