@@ -57,7 +57,7 @@ def _point_mass_mjcf(p: WorldParams) -> str:
     <worldbody>
         <body name="agent" pos="0 0 .05">
 {joints}
-            <geom contype="1" conaffinity="1" name="agent" size=".05" type="sphere"/>
+            <geom contype="1" conaffinity="1" name="agent" size=".05" type="sphere" rgba="0.12 0.22 0.55 1"/>
         </body>
     </worldbody>
     <actuator>
@@ -152,7 +152,7 @@ def _pendulum_mjcf(p) -> str:
         <body name="pole" pos="0 0 0">
             <joint name="hinge" type="hinge" axis="0 1 0" damping="{b}"/>
             <geom type="capsule" fromto="0 0 0 0 0 {p.length}" size="0.02"
-                  mass="0" contype="0" conaffinity="0"/>
+                  mass="0" contype="0" conaffinity="0" rgba="0.12 0.22 0.55 1"/>
             <inertial pos="0 0 {p.length}" mass="{p.mass}"
                       diaginertia="1e-9 1e-9 1e-9"/>
         </body>
@@ -183,11 +183,12 @@ def _cartpole_mjcf(p) -> str:
             <joint name="slide" type="slide" axis="1 0 0" limited="true"
                    range="-{p.track_limit} {p.track_limit}"/>
             <geom type="box" size="0.1 0.05 0.05" mass="{p.cart_mass}"
-                  contype="0" conaffinity="0"/>
+                  contype="0" conaffinity="0" rgba="0.25 0.25 0.28 1"/>
             <body name="pole" pos="0 0 0">
                 <joint name="hinge" type="hinge" axis="0 1 0"/>
                 <geom type="capsule" fromto="0 0 0 0 0 {2 * p.pole_length}"
-                      size="0.02" mass="0" contype="0" conaffinity="0"/>
+                      size="0.02" mass="0" contype="0" conaffinity="0"
+                      rgba="0.12 0.22 0.55 1"/>
                 <inertial pos="0 0 {p.pole_length}" mass="{p.pole_mass}"
                           diaginertia="{i_rod} {i_rod} 1e-9"/>
             </body>

@@ -198,6 +198,113 @@ def make_animation(t, xs, us, cfg=None, env: str | None = None,
     return fig, anim
 
 
+def _mujoco_render_model(env: str, cfg):
+    """Build the MuJoCo model + camera for replay rendering: the family's
+    physics MJCF (the same generators the `--world mujoco` backend steps)
+    with visual-only extras injected — floor plane, light, goal/obstacle
+    markers. Nothing is stepped; frames come from FK (`mj_forward`) on the
+    recorded states, so the extras cannot perturb the replay."""
+    import mujoco
+
+    from mppi_gpu_tpu.envs import is_cartpole_env, is_pendulum_env, params_for_config
+    from mppi_gpu_tpu.envs.mujoco_world import (
+        _cartpole_mjcf,
+        _pendulum_mjcf,
+        _point_mass_mjcf,
+    )
+
+    params = params_for_config(cfg) if cfg is not None else None
+    extras = [
+        '<light directional="true" pos="0 -1 3" dir="0 0.25 -1" '
+        'diffuse="0.45 0.45 0.45" specular="0 0 0"/>',
+    ]
+    cam = mujoco.MjvCamera()
+    mujoco.mjv_defaultCamera(cam)
+    if is_pendulum_env(env):
+        xml = _pendulum_mjcf(params)
+        cam.lookat[:] = (0.0, 0.0, 0.3)
+        cam.distance, cam.elevation, cam.azimuth = 3.5, -10.0, 90.0
+        extras.append(  # swing-up target: the upright tip position
+            f'<site name="target" pos="0 0 {params.length}" size="0.05" '
+            'rgba="1 0.8 0.1 0.6"/>'
+        )
+    elif is_cartpole_env(env):
+        xml = _cartpole_mjcf(params)
+        cam.lookat[:] = (0.0, 0.0, 0.4)
+        cam.distance, cam.elevation, cam.azimuth = 4.5, -10.0, 90.0
+        extras.append(
+            '<geom type="cylinder" fromto="-2.6 0 0 2.6 0 0" size="0.01" '
+            'rgba="0.5 0.5 0.5 0.5" contype="0" conaffinity="0" mass="0"/>'
+        )
+    else:
+        from mppi_gpu_tpu.envs.params import WorldParams
+
+        if params is None:
+            params = WorldParams(n_axes=2)
+        xml = _point_mass_mjcf(params)
+        extras.append(
+            '<geom type="plane" pos="0 0 0" size="2.5 2.5 0.1" '
+            'material="grid" contype="0" conaffinity="0"/>'
+        )
+        if cfg is not None and cfg.goal is not None:
+            g = list(np.asarray(cfg.goal, float)[: params.n_axes]) + [0.0, 0.0]
+            extras.append(
+                f'<site name="target" pos="{g[0]} {g[1]} {0.05 if params.n_axes < 3 else g[2]}" '
+                'size="0.07" rgba="1 0.8 0.1 0.8"/>'
+            )
+        for j, ob in enumerate(() if cfg is None else cfg.obstacles):
+            o = list(np.asarray(ob, float))
+            c, r = o[:-1] + [0.0, 0.0], o[-1]
+            extras.append(
+                f'<geom name="obs{j}" type="sphere" pos="{c[0]} {c[1]} '
+                f'{0.05 if params.n_axes < 3 else c[2]}" size="{r}" '
+                'rgba="0.86 0.16 0.16 0.35" contype="0" conaffinity="0" mass="0"/>'
+            )
+        cam.lookat[:] = (0.0, 0.0, 0.05)
+        cam.distance = 4.0
+        cam.elevation, cam.azimuth = (-90.0, 90.0) if params.n_axes < 3 else (-35.0, 135.0)
+    xml = xml.replace("</worldbody>", "        " + "\n        ".join(extras) + "\n    </worldbody>")
+    # visual-only scene dressing: matte headlight + gradient sky
+    xml = xml.replace("<worldbody>", """<visual>
+        <headlight ambient="0.45 0.45 0.45" diffuse="0.55 0.55 0.55" specular="0.05 0.05 0.05"/>
+    </visual>
+    <asset>
+        <texture type="skybox" builtin="gradient" rgb1="0.92 0.94 0.97" rgb2="0.55 0.65 0.8" width="128" height="128"/>
+        <texture name="grid" type="2d" builtin="checker" rgb1="0.52 0.56 0.6" rgb2="0.38 0.43 0.49" width="256" height="256"/>
+        <material name="grid" texture="grid" texrepeat="10 10" specular="0" shininess="0" reflectance="0"/>
+    </asset>
+    <worldbody>""")
+    m = mujoco.MjModel.from_xml_string(xml)
+    return m, cam
+
+
+def render_mujoco_gif(t, xs, out: str, env: str, cfg=None, stride: int = 1,
+                      fps: int = 30, width: int = 480, height: int = 360) -> int:
+    """Replay the recorded states through the real MuJoCo renderer
+    (offscreen EGL — the headless analog of the reference's
+    mjv_updateScene/mjr_render loop, PointMassEnv.cpp:141-169) and save a
+    GIF. Returns the frame count."""
+    import mujoco
+    from PIL import Image
+
+    m, cam = _mujoco_render_model(env, cfg)
+    d = mujoco.MjData(m)
+    r = mujoco.Renderer(m, height, width)
+    frames = []
+    try:
+        for i in range(0, len(xs), max(1, stride)):
+            d.qpos[:] = xs[i, : m.nq]
+            d.qvel[:] = xs[i, m.nq : m.nq + m.nv]
+            mujoco.mj_forward(m, d)
+            r.update_scene(d, camera=cam)
+            frames.append(Image.fromarray(r.render()))
+    finally:
+        r.close()
+    frames[0].save(out, save_all=True, append_images=frames[1:],
+                   duration=int(1000 / fps), loop=0)
+    return len(frames)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("csv", help="trajectory CSV (time, x[i], u[i])")
@@ -209,6 +316,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--stride", type=int, default=1,
                    help="render every Nth recorded step")
+    p.add_argument("--renderer", choices=("matplotlib", "mujoco"),
+                   default="matplotlib",
+                   help="mujoco = offscreen render of the real MuJoCo scene "
+                        "(needs the mujoco package + EGL/OSMesa)")
     args = p.parse_args(argv)
 
     t, xs, us = _load(args.csv)
@@ -217,12 +328,18 @@ def main(argv: list[str] | None = None) -> int:
         from mppi_gpu_tpu.config import load_config
 
         cfg = load_config(args.config)
-    fig, anim = make_animation(t, xs, us, cfg=cfg, env=args.env,
-                               stride=args.stride, fps=args.fps)
     out = args.out or (os.path.splitext(args.csv)[0] + ".gif")
-    anim.save(out, writer=manim.PillowWriter(fps=args.fps))
-    plt.close(fig)
-    n_frames = len(range(0, len(xs), max(1, args.stride)))
+    if args.renderer == "mujoco":
+        os.environ.setdefault("MUJOCO_GL", "egl")
+        env = args.env or (cfg.env if cfg is not None else "point_mass2d")
+        n_frames = render_mujoco_gif(t, xs, out, env, cfg=cfg,
+                                     stride=args.stride, fps=args.fps)
+    else:
+        fig, anim = make_animation(t, xs, us, cfg=cfg, env=args.env,
+                                   stride=args.stride, fps=args.fps)
+        anim.save(out, writer=manim.PillowWriter(fps=args.fps))
+        plt.close(fig)
+        n_frames = len(range(0, len(xs), max(1, args.stride)))
     print(f"wrote {out} ({n_frames} frames @ {args.fps} fps)")
     return 0
 

@@ -115,6 +115,48 @@ def test_animate_all_scene_families(tmp_path, env, s, a):
     assert rc == 0 and out.exists() and out.stat().st_size > 500
 
 
+def _egl_rendering_available() -> bool:
+    try:
+        import os as _os
+
+        _os.environ.setdefault("MUJOCO_GL", "egl")
+        import mujoco
+
+        m = mujoco.MjModel.from_xml_string(
+            "<mujoco><worldbody><geom type='sphere' size='.1'/></worldbody></mujoco>"
+        )
+        r = mujoco.Renderer(m, 16, 16)
+        r.close()
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.parametrize(
+    "env,s,a",
+    [("point_mass2d", 4, 2), ("pendulum", 2, 1), ("cartpole", 4, 1)],
+)
+def test_animate_mujoco_renderer(tmp_path, env, s, a):
+    """`--renderer mujoco`: the recorded episode replayed through the real
+    MuJoCo renderer (offscreen EGL — the headless analog of the reference's
+    mjv_updateScene/mjr_render loop, PointMassEnv.cpp:141-169)."""
+    if not _egl_rendering_available():
+        pytest.skip("mujoco offscreen rendering unavailable")
+    path = tmp_path / "traj.csv"
+    n = 6
+    write_traj_csv(
+        path, np.linspace(0, 1, n),
+        0.3 * np.random.default_rng(2).normal(size=(n, s)),
+        0.3 * np.random.default_rng(3).normal(size=(n, a)),
+    )
+    mod = _load_script("animate.py")
+    cfg = os.path.join(ROOT, "configs", f"{env}.yaml")
+    out = tmp_path / "mj.gif"
+    rc = mod.main([str(path), "-c", cfg, "-o", str(out),
+                   "--renderer", "mujoco", "--fps", "10"])
+    assert rc == 0 and out.exists() and out.stat().st_size > 500
+
+
 def test_animate_with_config_obstacles(tmp_path):
     """Config-driven path: goal star + obstacle circles from the YAML."""
     path = tmp_path / "traj.csv"
