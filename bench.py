@@ -64,6 +64,14 @@ def build(K: int, T: int, backend: str, antithetic: bool = False,
             goal=(0.0, 0.0, 0.0, 0.0), cost_type="cartpole",
             cost_w=(0.5, 20.0, 0.05, 0.1), antithetic=antithetic,
         )
+    elif family == "quadrotor":
+        cfg = MPPIConfig(
+            env="quadrotor", samples=K, state_dim=6, action_dim=2, horizon=T,
+            dt=1 / 60, lambda_=0.1, noise=(1.0, 0.15), init_act=(7.848, 0.0),
+            max_a=(16.0, 3.0), goal=(1.0, 0.5, 0.0, 0.0, 0.0, 0.0),
+            cost_type="quadrotor", cost_w=(4.0, 4.0, 10.0, 1.5, 1.5, 2.0),
+            antithetic=antithetic,
+        )
     elif family == "obstacle":
         cfg = MPPIConfig(
             env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
@@ -128,6 +136,8 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
         x = jnp.asarray([3.0, 0.1], jnp.float32)  # hanging, slight spin
     elif family == "cartpole":
         x = jnp.asarray([0.1, 0.2, 0.0, 0.0], jnp.float32)  # pole leaning
+    elif family == "quadrotor":
+        x = jnp.asarray([-1.0, 0.0, 0.05, 0.2, 0.0, 0.1], jnp.float32)
     else:  # lti / obstacle (point_mass3d state)
         x = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
     U0 = ctrl.init_action_seq()
@@ -324,6 +334,8 @@ ALL_CASES = [
     (100_000, "pallas", False, 20, "cartpole"),
     (100_000, "scan", False, 20, "obstacle"),
     (100_000, "pallas", False, 20, "obstacle"),
+    (100_000, "scan", False, 20, "quadrotor"),
+    (100_000, "pallas", False, 20, "quadrotor"),
 ]
 
 
@@ -421,7 +433,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp", action="store_true",
                    help="MLP(128x128) residual dynamics instead of analytic LTI")
     p.add_argument("--family", default="lti",
-                   choices=("lti", "pendulum", "cartpole", "obstacle"),
+                   choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor"),
                    help="fused model family for the workload")
     p.add_argument("--sharded", action="store_true",
                    help="mesh-size sweep with weak/strong scaling efficiency")

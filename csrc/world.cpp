@@ -355,4 +355,109 @@ void mppi_cartpole_set_state(CartPole* c, const float* x, float time) {
 
 }  // extern "C" (cartpole fns)
 
+// ---------------------------------------------------------------------------
+// Planar-quadrotor world (fourth model family): same ODE as the JAX world in
+// mppi_gpu_tpu/envs/quadrotor_world.py — state [px, pz, th, vx, vz, om],
+// action u = [F, D] mixer command, mixed to per-rotor thrusts
+// f_{l,r} = (F +- D)/2 each clamped to [0, max_thrust],
+//   xdd  = (f1 + f2) * sin(th) / m
+//   zdd  = (f1 + f2) * cos(th) / m - g
+//   thdd = arm * (f1 - f2) / I
+// RK4 at `timestep`.
+
+struct Quadrotor {
+  float mass, inertia, arm, gravity, max_thrust;
+  float timestep, control_period, sim_end, init_x, init_z;
+  float s[6];  // px, pz, th, vx, vz, om
+  float time;
+  int steps_per_control;
+};
+
+static void quad_derivs(const Quadrotor* q, const float* y, float u1, float u2,
+                        float* dy) {
+  const float f_tot = u1 + u2;
+  dy[0] = y[3];
+  dy[1] = y[4];
+  dy[2] = y[5];
+  dy[3] = f_tot * std::sin(y[2]) / q->mass;
+  dy[4] = f_tot * std::cos(y[2]) / q->mass - q->gravity;
+  dy[5] = q->arm * (u1 - u2) / q->inertia;
+}
+
+static void quad_physics_step(Quadrotor* q, const float* u_in) {
+  const float h = q->timestep;
+  // mixer: (F, D) -> per-rotor thrusts, clamped to the envelope
+  const float u1 = clampf(0.5f * (u_in[0] + u_in[1]), 0.0f, q->max_thrust);
+  const float u2 = clampf(0.5f * (u_in[0] - u_in[1]), 0.0f, q->max_thrust);
+  float k1[6], k2[6], k3[6], k4[6], ys[6];
+  quad_derivs(q, q->s, u1, u2, k1);
+  for (int i = 0; i < 6; ++i) ys[i] = q->s[i] + 0.5f * h * k1[i];
+  quad_derivs(q, ys, u1, u2, k2);
+  for (int i = 0; i < 6; ++i) ys[i] = q->s[i] + 0.5f * h * k2[i];
+  quad_derivs(q, ys, u1, u2, k3);
+  for (int i = 0; i < 6; ++i) ys[i] = q->s[i] + h * k3[i];
+  quad_derivs(q, ys, u1, u2, k4);
+  for (int i = 0; i < 6; ++i)
+    q->s[i] += (h / 6.0f) * (k1[i] + 2.0f * k2[i] + 2.0f * k3[i] + k4[i]);
+  q->time += h;
+}
+
+extern "C" {
+
+Quadrotor* mppi_quadrotor_create(float mass, float inertia, float arm,
+                                 float gravity, float max_thrust,
+                                 float timestep, float control_period,
+                                 float sim_end, float init_x, float init_z) {
+  Quadrotor* q = static_cast<Quadrotor*>(std::calloc(1, sizeof(Quadrotor)));
+  if (!q) return nullptr;
+  q->mass = mass;
+  q->inertia = inertia;
+  q->arm = arm;
+  q->gravity = gravity;
+  q->max_thrust = max_thrust;
+  q->timestep = timestep;
+  q->control_period = control_period;
+  q->sim_end = sim_end;
+  q->init_x = init_x;
+  q->init_z = init_z;
+  q->steps_per_control =
+      static_cast<int>(std::ceil(control_period / timestep - 1e-9));
+  q->s[0] = init_x;
+  q->s[1] = init_z;
+  q->time = timestep;
+  return q;
+}
+
+void mppi_quadrotor_destroy(Quadrotor* q) { std::free(q); }
+
+void mppi_quadrotor_reset(Quadrotor* q) {
+  std::memset(q->s, 0, sizeof(q->s));
+  q->s[0] = q->init_x;
+  q->s[1] = q->init_z;
+  q->time = q->timestep;
+}
+
+int mppi_quadrotor_simulate(Quadrotor* q, const float* u) {
+  if (q->time >= q->sim_end) return 1;
+  for (int s = 0; s < q->steps_per_control; ++s) quad_physics_step(q, u);
+  return 0;
+}
+
+void mppi_quadrotor_step(Quadrotor* q, const float* u) {
+  quad_physics_step(q, u);
+}
+
+void mppi_quadrotor_get_x(Quadrotor* q, float* x) {
+  for (int i = 0; i < 6; ++i) x[i] = q->s[i];
+}
+
+float mppi_quadrotor_time(Quadrotor* q) { return q->time; }
+
+void mppi_quadrotor_set_state(Quadrotor* q, const float* x, float time) {
+  for (int i = 0; i < 6; ++i) q->s[i] = x[i];
+  q->time = time;
+}
+
+}  // extern "C" (quadrotor fns)
+
 }  // extern "C"

@@ -15,6 +15,7 @@ from mppi_gpu_tpu.envs.params import WorldParams, world_params_for_config
 from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld
 from mppi_gpu_tpu.envs.cartpole_world import CartPoleParams, CartPoleWorld
 from mppi_gpu_tpu.envs.pendulum_world import PendulumParams, PendulumWorld
+from mppi_gpu_tpu.envs.quadrotor_world import QuadrotorParams, QuadrotorWorld
 from mppi_gpu_tpu.envs.native import NativePointMassWorld, native_available
 
 
@@ -26,6 +27,10 @@ def is_cartpole_env(env: str) -> bool:
     return "cartpole" in str(env)
 
 
+def is_quadrotor_env(env: str) -> bool:
+    return "quadrotor" in str(env)
+
+
 def params_for_config(cfg):
     """Env-family dispatch: the config's `env` name (or XML path) selects the
     world family and its physical parameters."""
@@ -33,6 +38,10 @@ def params_for_config(cfg):
         return CartPoleParams(max_force=max(cfg.max_a))
     if is_pendulum_env(cfg.env):
         return PendulumParams(max_torque=max(cfg.max_a))
+    if is_quadrotor_env(cfg.env):
+        # max-a[0] bounds the collective F = f_l + f_r, so the per-rotor
+        # envelope is half of it (mixer semantics, models/quadrotor.py)
+        return QuadrotorParams(max_thrust=cfg.max_a[0] / 2.0)
     return world_params_for_config(cfg)
 
 
@@ -42,6 +51,8 @@ def make_jax_world(cfg, params=None):
         return CartPoleWorld(params)
     if isinstance(params, PendulumParams):
         return PendulumWorld(params)
+    if isinstance(params, QuadrotorParams):
+        return QuadrotorWorld(params)
     return PointMassWorld(params)
 
 
@@ -51,7 +62,11 @@ __all__ = [
     "params_for_config",
     "make_jax_world",
     "is_pendulum_env",
+    "is_cartpole_env",
+    "is_quadrotor_env",
     "PointMassWorld",
+    "QuadrotorWorld",
+    "QuadrotorParams",
     "PendulumWorld",
     "PendulumParams",
     "CartPoleWorld",

@@ -202,6 +202,45 @@ def _cartpole_mjcf(p) -> str:
 """
 
 
+def _quadrotor_mjcf(p) -> str:
+    """Planar quadrotor matching QuadrotorWorld's ODE
+    (envs/quadrotor_world.py): a free body constrained to the x–z plane by
+    two slide joints + one hinge about y (all through the COM, so rotation
+    and translation decouple exactly like the analytic model), point-mass
+    inertial (m, I_yy = I), and two site-transmission thrusters at ∓arm x̂
+    pushing along body +z — MuJoCo's site Jacobian reproduces both the
+    tilted-thrust force F·(sin θ, 0, cos θ) and the differential torque
+    r·(f_left − f_right) about y. ctrlrange [0, max_thrust] is the
+    analytic world's thrust clamp."""
+    return f"""
+<mujoco model="tpu-mppi planar quadrotor (generated)">
+    <compiler angle="radian"/>
+    <option gravity="0 0 -{p.gravity}" integrator="RK4" timestep="{p.timestep}"/>
+    <worldbody>
+        <body name="quad" pos="0 0 0">
+            <joint name="slide_x" type="slide" axis="1 0 0"/>
+            <joint name="slide_z" type="slide" axis="0 0 1"/>
+            <joint name="tilt" type="hinge" axis="0 1 0"/>
+            <geom type="box" size="{p.arm} 0.02 0.008" mass="0"
+                  contype="0" conaffinity="0" rgba="0.12 0.22 0.55 1"/>
+            <inertial pos="0 0 0" mass="{p.mass}"
+                      diaginertia="{p.inertia} {p.inertia} {p.inertia}"/>
+            <site name="rotor_left" pos="-{p.arm} 0 0" size="0.015"
+                  rgba="0.9 0.4 0.1 1"/>
+            <site name="rotor_right" pos="{p.arm} 0 0" size="0.015"
+                  rgba="0.1 0.6 0.3 1"/>
+        </body>
+    </worldbody>
+    <actuator>
+        <motor site="rotor_left" gear="0 0 1 0 0 0" ctrllimited="true"
+               ctrlrange="0 {p.max_thrust}"/>
+        <motor site="rotor_right" gear="0 0 1 0 0 0" ctrllimited="true"
+               ctrlrange="0 {p.max_thrust}"/>
+    </actuator>
+</mujoco>
+"""
+
+
 class MujocoPendulumWorld(_MujocoWorldBase):
     """Real-MuJoCo pendulum plant (no reference analog — the reference is
     point-mass only; this extends its MuJoCo-as-ground-truth pattern to the
@@ -241,5 +280,41 @@ class MujocoCartPoleWorld(_MujocoWorldBase):
     def reset(self) -> None:
         self._mujoco.mj_resetData(self.m, self.d)
         self.d.qpos[1] = self.params.init_theta
+        self.d.time = self.params.timestep
+        self._mujoco.mj_forward(self.m, self.d)
+
+
+class MujocoQuadrotorWorld(_MujocoWorldBase):
+    """Real-MuJoCo planar-quadrotor plant (no reference analog; same
+    pattern). The actuators are the two rotors, so the (F, D) mixer
+    command is mixed to per-rotor thrusts here (the MJCF's ctrlrange
+    [0, f_max] applies the envelope clamp, same as the analytic worlds).
+    Reset matches QuadrotorWorld.reset: at (init_x, init_z), level and at
+    rest, sim clock at one physics step."""
+
+    def __init__(self, params) -> None:
+        import mujoco
+
+        self._mujoco = mujoco
+        self.params = params
+        self.m = mujoco.MjModel.from_xml_string(_quadrotor_mjcf(params))
+        self.d = mujoco.MjData(self.m)
+        self.reset()
+
+    @staticmethod
+    def _mix(u: np.ndarray) -> np.ndarray:
+        F, D = float(u[0]), float(u[1])
+        return np.array([0.5 * (F + D), 0.5 * (F - D)])
+
+    def simulate(self, u: np.ndarray) -> bool:
+        return super().simulate(self._mix(np.asarray(u).reshape(-1)))
+
+    def step(self, u: np.ndarray) -> None:
+        super().step(self._mix(np.asarray(u).reshape(-1)))
+
+    def reset(self) -> None:
+        self._mujoco.mj_resetData(self.m, self.d)
+        self.d.qpos[0] = self.params.init_x
+        self.d.qpos[1] = self.params.init_z
         self.d.time = self.params.timestep
         self._mujoco.mj_forward(self.m, self.d)

@@ -44,7 +44,9 @@ def _load() -> ctypes.CDLL | None:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not _SO.exists() and not _build():
+        src = _CSRC / "world.cpp"
+        stale = _SO.exists() and src.exists() and src.stat().st_mtime > _SO.stat().st_mtime
+        if (not _SO.exists() or stale) and not _build() and not _SO.exists():
             _load_failed = True
             return None
         try:
@@ -86,6 +88,17 @@ def _load() -> ctypes.CDLL | None:
         lib.mppi_cartpole_time.restype = ctypes.c_float
         lib.mppi_cartpole_time.argtypes = [ctypes.c_void_p]
         lib.mppi_cartpole_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
+        lib.mppi_quadrotor_create.restype = ctypes.c_void_p
+        lib.mppi_quadrotor_create.argtypes = [ctypes.c_float] * 10
+        lib.mppi_quadrotor_destroy.argtypes = [ctypes.c_void_p]
+        lib.mppi_quadrotor_reset.argtypes = [ctypes.c_void_p]
+        lib.mppi_quadrotor_simulate.restype = ctypes.c_int
+        lib.mppi_quadrotor_simulate.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_quadrotor_step.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_quadrotor_get_x.argtypes = [ctypes.c_void_p, f32p]
+        lib.mppi_quadrotor_time.restype = ctypes.c_float
+        lib.mppi_quadrotor_time.argtypes = [ctypes.c_void_p]
+        lib.mppi_quadrotor_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
         lib.mppi_world_steps_per_control.restype = ctypes.c_int
         lib.mppi_world_steps_per_control.argtypes = [ctypes.c_void_p]
         lib.mppi_world_rollout.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
@@ -340,6 +353,83 @@ class NativeCartPoleWorld:
         if x.shape != (4,):
             raise ValueError("x must have shape (4,)")
         self._lib.mppi_cartpole_set_state(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(time),
+        )
+
+
+class NativeQuadrotorWorld:
+    """Reference-env-shaped API over the native planar-quadrotor simulator
+    (fourth model family; csrc/world.cpp quadrotor section)."""
+
+    def __init__(self, params) -> None:  # params: envs.quadrotor_world.QuadrotorParams
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native world library unavailable; use envs.QuadrotorWorld instead"
+            )
+        self._lib = lib
+        self.params = params
+        self._handle = lib.mppi_quadrotor_create(
+            ctypes.c_float(params.mass),
+            ctypes.c_float(params.inertia),
+            ctypes.c_float(params.arm),
+            ctypes.c_float(params.gravity),
+            ctypes.c_float(params.max_thrust),
+            ctypes.c_float(params.timestep),
+            ctypes.c_float(params.control_period),
+            ctypes.c_float(params.sim_end),
+            ctypes.c_float(params.init_x),
+            ctypes.c_float(params.init_z),
+        )
+        if not self._handle:
+            raise RuntimeError("mppi_quadrotor_create failed")
+
+    def __del__(self) -> None:  # pragma: no cover
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.mppi_quadrotor_destroy(handle)
+            self._handle = None
+
+    def _uptr(self, u: np.ndarray) -> np.ndarray:
+        u = np.ascontiguousarray(u, dtype=np.float32)
+        if u.shape != (2,):
+            raise ValueError(f"u must have shape (2,), got {u.shape}")
+        return u
+
+    def reset(self) -> None:
+        self._lib.mppi_quadrotor_reset(self._handle)
+
+    def simulate(self, u: np.ndarray) -> bool:
+        u = self._uptr(u)
+        return bool(
+            self._lib.mppi_quadrotor_simulate(
+                self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+        )
+
+    def step(self, u: np.ndarray) -> None:
+        u = self._uptr(u)
+        self._lib.mppi_quadrotor_step(
+            self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+
+    def get_x(self) -> np.ndarray:
+        x = np.empty((6,), np.float32)
+        self._lib.mppi_quadrotor_get_x(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return x
+
+    @property
+    def time(self) -> float:
+        return float(self._lib.mppi_quadrotor_time(self._handle))
+
+    def set_state(self, x: np.ndarray, time: float) -> None:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.shape != (6,):
+            raise ValueError("x must have shape (6,)")
+        self._lib.mppi_quadrotor_set_state(
             self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_float(time),
         )

@@ -128,10 +128,15 @@ def run_mismatch_config(
 
     rng = np.random.default_rng(seed)
     a = cfg.action_dim
+    # excitation around the nominal action (hover thrust for the quadrotor,
+    # zero for the torque/force families), ±max_a/2 — the same "drive it
+    # with noise" excitation the reference's miss tool uses
+    # (model_missmatch.cpp:123-155)
     us = (
-        rng.standard_normal((n_steps, a)).astype(np.float32)
+        np.asarray(cfg.init_act, np.float32)
+        + rng.standard_normal((n_steps, a)).astype(np.float32)
         * np.asarray(cfg.max_a, np.float32) * 0.5
-    )
+    ).astype(np.float32)
     dyn = dynamics_for_config(cfg)
     params = params_for_config(cfg)
     world = make_jax_world(cfg, params)
@@ -140,22 +145,30 @@ def run_mismatch_config(
     x0 = jnp.asarray(ws0.x)
 
     if world_backend in ("native", "mujoco"):
-        from mppi_gpu_tpu.envs import is_cartpole_env
+        from mppi_gpu_tpu.envs import is_cartpole_env, is_quadrotor_env
 
         if world_backend == "native":
             from mppi_gpu_tpu.envs.native import (
                 NativeCartPoleWorld,
                 NativePendulumWorld,
+                NativeQuadrotorWorld,
             )
 
-            cls = NativeCartPoleWorld if is_cartpole_env(cfg.env) else NativePendulumWorld
+            if is_quadrotor_env(cfg.env):
+                cls = NativeQuadrotorWorld
+            else:
+                cls = NativeCartPoleWorld if is_cartpole_env(cfg.env) else NativePendulumWorld
         else:
             from mppi_gpu_tpu.envs.mujoco_world import (
                 MujocoCartPoleWorld,
                 MujocoPendulumWorld,
+                MujocoQuadrotorWorld,
             )
 
-            cls = MujocoCartPoleWorld if is_cartpole_env(cfg.env) else MujocoPendulumWorld
+            if is_quadrotor_env(cfg.env):
+                cls = MujocoQuadrotorWorld
+            else:
+                cls = MujocoCartPoleWorld if is_cartpole_env(cfg.env) else MujocoPendulumWorld
         mw = cls(params)
         traj_world = np.empty((n_steps + 1, len(np.asarray(x0))), np.float32)
         traj_world[0] = mw.get_x()
@@ -223,7 +236,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     cfg = load_config(args.config) if args.config else None
-    if cfg is not None and ("pendulum" in cfg.env or "cartpole" in cfg.env):
+    if cfg is not None and any(
+        fam in cfg.env for fam in ("pendulum", "cartpole", "quadrotor")
+    ):
         # non-point-mass families: the jax world isolates the
         # integrator-level mismatch (same ODE, finer RK4); --world native
         # drives the C++ twin, --world mujoco the real engine

@@ -9,6 +9,7 @@ from mppi_gpu_tpu.models.base import Dynamics
 from mppi_gpu_tpu.models.point_mass import PointMassLTI
 from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
 from mppi_gpu_tpu.models.pendulum import PendulumDynamics
+from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
 from mppi_gpu_tpu.models.neural import MLPDynamics, init_mlp_dynamics
 
 
@@ -19,10 +20,13 @@ def dynamics_for_config(cfg) -> Dynamics:
         return CartPoleDynamics.create(cfg.dt)
     if "pendulum" in str(cfg.env):
         return PendulumDynamics.create(cfg.dt)
+    if "quadrotor" in str(cfg.env):
+        return QuadrotorDynamics.create(cfg.dt)
     return PointMassLTI.create(cfg.dt, cfg.action_dim)
 
 
 __all__ = [
-    "Dynamics", "PointMassLTI", "PendulumDynamics", "CartPoleDynamics", "MLPDynamics",
+    "Dynamics", "PointMassLTI", "PendulumDynamics", "CartPoleDynamics",
+    "QuadrotorDynamics", "MLPDynamics",
     "init_mlp_dynamics", "dynamics_for_config",
 ]

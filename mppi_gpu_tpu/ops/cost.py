@@ -142,6 +142,37 @@ class CartPoleBalanceCost:
         return self._state(x)
 
 
+@register_dataclass
+@dataclass(frozen=True)
+class QuadrotorHoverCost:
+    """Hover/waypoint cost for the planar-quadrotor family: quadratic on
+    position and velocities toward ``goal``, wrap-safe ``(1 − cos θ)`` on
+    the tilt (goal tilt/rates are the level-hover zeros). ``w = [w_px,
+    w_pz, w_th, w_vx, w_vz, w_om]``; plus the standard MPPI control term."""
+
+    w: jax.Array        # (6,)
+    goal: jax.Array     # (6,) — only [0:2] (position) is nonzero in practice
+    lambda_: jax.Array
+    inv_s: jax.Array    # (a,)
+
+    def _state(self, x: jax.Array) -> jax.Array:
+        dx, dz = x[..., 0] - self.goal[0], x[..., 1] - self.goal[1]
+        return (
+            self.w[0] * dx * dx
+            + self.w[1] * dz * dz
+            + self.w[2] * (1.0 - jnp.cos(x[..., 2]))
+            + self.w[3] * x[..., 3] ** 2
+            + self.w[4] * x[..., 4] ** 2
+            + self.w[5] * x[..., 5] ** 2
+        )
+
+    def step(self, x_next: jax.Array, u: jax.Array, eps: jax.Array) -> jax.Array:
+        return self.lambda_ * jnp.sum(u * self.inv_s * eps, axis=-1) + self._state(x_next)
+
+    def final(self, x: jax.Array) -> jax.Array:
+        return self._state(x)
+
+
 CostFactory = Callable[[MPPIConfig], Cost]
 COST_REGISTRY: dict[str, CostFactory] = {}
 
@@ -220,6 +251,25 @@ def _make_cartpole(cfg: MPPIConfig) -> CartPoleBalanceCost:
         inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
     return CartPoleBalanceCost(
         w=jnp.asarray(cfg.cost_w, jnp.float32),
+        lambda_=jnp.float32(cfg.lambda_),
+        inv_s=inv_s,
+    )
+
+
+@register_cost("quadrotor")
+def _make_quadrotor(cfg: MPPIConfig) -> QuadrotorHoverCost:
+    if len(cfg.cost_w) != 6:
+        raise ValueError(
+            "quadrotor cost needs cost.w = [w_px, w_pz, w_th, w_vx, w_vz, "
+            f"w_om], got {cfg.cost_w}"
+        )
+    if cfg.inv_sigma == "from-noise":
+        inv_s = 1.0 / (jnp.asarray(cfg.noise, jnp.float32) ** 2)
+    else:
+        inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
+    return QuadrotorHoverCost(
+        w=jnp.asarray(cfg.cost_w, jnp.float32),
+        goal=jnp.asarray(cfg.goal, jnp.float32),
         lambda_=jnp.float32(cfg.lambda_),
         inv_s=inv_s,
     )

@@ -617,9 +617,124 @@ class _LTIObstacleFamily(_LTIQuadFamily):
         return carry0, step, final
 
 
+class _QuadrotorFamily:
+    """Planar quadrotor in mixer action space (models/quadrotor.py +
+    ops/cost.py QuadrotorHoverCost): RK2-midpoint of the birotor ODE with
+    the wrap-safe hover cost. First fused family with A=2 COUPLED action
+    dims: rows g·2 / g·2+1 of the (SUB, KB) action tile carry group g's
+    collective F and differential D, and the dynamics consumes both at
+    once — each is duplicated onto both of its group's rows with static
+    sublane slices (the same concat-of-slices pattern the generic phase's
+    group reduction uses), the state integrates on full (SUB, KB) tiles,
+    and an even-row mask zeroes the cost on rows g·2+1 so the end-of-phase
+    per-group sublane reduction counts each group exactly once."""
+
+    name = "quadrotor"
+    NP = 19  # sigma, inv_s, w0..w5, goal_x, goal_z, x0 (6), 1/m, r/I, g
+    _W0 = 2                      # ..7: w_px, w_pz, w_th, w_vx, w_vz, w_om
+    _GX, _GZ = 8, 9
+    _X0 = 10                     # ..15: px, pz, th, vx, vz, om
+    _IM, _RI, _GRAV = 16, 17, 18
+    # NOTE on tile layout: the state could live on one-row-per-group (G, KB)
+    # tiles, but vregs are (8, 128) regardless — a (G, KB) array wastes half
+    # of every vector op AND needs (1,1)→(G,KB) broadcasts, which Mosaic
+    # rejects ("broadcast in both sublanes and lanes"). So the state stays
+    # on full (SUB, KB) tiles with group g's value duplicated on rows
+    # g·2/g·2+1 (same cost as computing half-empty tiles), every broadcast
+    # is lane-only, and an even-row mask makes the shared per-group sublane
+    # reduction count each group's cost exactly once.
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
+        from mppi_gpu_tpu.ops.cost import QuadrotorHoverCost
+
+        return isinstance(dyn, QuadrotorDynamics) and type(cost) is QuadrotorHoverCost
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        x0 = jnp.broadcast_to(x0, (6,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        cols = [tileA(sigma), tileA(cost.inv_s)]
+        cols += [tileA(w[i]) for i in range(6)]
+        cols += [tileA(cost.goal[0]), tileA(cost.goal[1])]
+        cols += [tileA(x0[i]) for i in range(6)]
+        cols += [
+            tileA(1.0 / dyn.mass),
+            tileA(dyn.arm / dyn.inertia),
+            tileA(dyn.gravity),
+        ]
+        return jnp.stack(cols, axis=1)  # (SUB, NP)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        dt = scal_ref[0, 0]
+        col = lambda i: p_ref[:, i:i + 1]  # (SUB, 1): lane-only broadcasts  # noqa: E731
+        w = [col(cls._W0 + i) for i in range(6)]
+        gx, gz = col(cls._GX), col(cls._GZ)
+        im, ri, grav = col(cls._IM), col(cls._RI), col(cls._GRAV)
+        # even-row mask: group g's cost rides row g·2 only
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        even = (row % 2 == 0).astype(jnp.float32)
+
+        def pair_dup(u_eff, off):
+            """(SUB, KB): rows g·2 and g·2+1 both carry group g's action
+            row `off` (0 = collective F, 1 = differential D)."""
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 2 + off:g * 2 + off + 1]
+                rows.append(r)
+                rows.append(r)
+            return jnp.concatenate(rows, axis=0)
+
+        def accels(th, F, D):
+            # mirrors QuadrotorDynamics.accels exactly
+            return F * jnp.sin(th) * im, F * jnp.cos(th) * im - grav, ri * D
+
+        def state_cost(s):
+            px, pz, th, vx, vz, om = s
+            dx, dz = px - gx, pz - gz
+            return even * (
+                w[0] * dx * dx + w[1] * dz * dz
+                + w[2] * (1.0 - jnp.cos(th))
+                + w[3] * vx * vx + w[4] * vz * vz + w[5] * om * om
+            )
+
+        def carry0():
+            return tuple(
+                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(6)
+            )
+
+        def step(state, u_eff):
+            px, pz, th, vx, vz, om = state
+            F, D = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
+            # RK2 midpoint — mirrors QuadrotorDynamics.step exactly
+            ax1, az1, al1 = accels(th, F, D)
+            th_m = th + 0.5 * dt * om
+            ax2, az2, al2 = accels(th_m, F, D)
+            state = (
+                px + dt * (vx + 0.5 * dt * ax1),
+                pz + dt * (vz + 0.5 * dt * az1),
+                th + dt * (om + 0.5 * dt * al1),
+                vx + dt * ax2,
+                vz + dt * az2,
+                om + dt * al2,
+            )
+            return state, state_cost(state)
+
+        def final(state):
+            return state_cost(state)
+
+        return carry0, step, final
+
+
 FAMILIES = {
     f.name: f
-    for f in (_LTIQuadFamily, _PendulumFamily, _CartPoleFamily, _LTIObstacleFamily)
+    for f in (
+        _LTIQuadFamily, _PendulumFamily, _CartPoleFamily, _LTIObstacleFamily,
+        _QuadrotorFamily,
+    )
 }
 
 

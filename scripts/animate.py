@@ -13,6 +13,8 @@ Scene layout per env family (from the config's `env` key):
   3-D uses a matplotlib 3-D projection.
 * ``pendulum`` — rod from the pivot; θ=0 is upright (the swing-up target).
 * ``cartpole`` — cart rectangle on a rail + pole; θ=0 is upright.
+* ``quadrotor`` — planar birotor body segment + trail + goal star; the
+  body tilts with θ (positive = right tip down).
 
 The CSV is the one `mppi_gpu_tpu.cli -t` / `write_traj_csv` produces
 (columns time, x[i], u[i] — reference to_csv_traj, src/main.cu:32-57).
@@ -166,6 +168,43 @@ class _CartPoleScene:
         return [self.pole]
 
 
+class _QuadrotorScene:
+    """Planar birotor: body segment tilted by θ, rotor dots, trail, goal
+    star; state x = (px, pz, θ, vx, vz, ω)."""
+
+    def __init__(self, ax, xs, us, goal=None, arm=0.17):
+        self.p = xs[:, :2]
+        self.th = xs[:, 2]
+        self.arm = arm
+        g = None if goal is None else np.asarray(goal[:2], float)
+        vals0 = [self.p[:, 0].min(), self.p[:, 0].max()] + ([g[0]] if g is not None else [])
+        vals1 = [self.p[:, 1].min(), self.p[:, 1].max()] + ([g[1]] if g is not None else [])
+        ax.set_xlim(*_pad_limits(min(vals0) - 2 * arm, max(vals0) + 2 * arm))
+        ax.set_ylim(*_pad_limits(min(vals1) - 2 * arm, max(vals1) + 2 * arm))
+        ax.set_aspect("equal", adjustable="box")
+        ax.set(xlabel="x", ylabel="z")
+        if g is not None:
+            ax.plot(*g, linestyle="", marker="*", color="goldenrod",
+                    markersize=16, zorder=3)
+        (self.trail,) = ax.plot([], [], lw=1.0, color="steelblue",
+                                alpha=0.7, zorder=2)
+        (self.body,) = ax.plot([], [], lw=4, color="navy",
+                               solid_capstyle="round", zorder=4)
+        (self.rotors,) = ax.plot([], [], linestyle="", marker="o",
+                                 color="darkorange", markersize=6, zorder=5)
+
+    def update(self, i):
+        px, pz = self.p[i]
+        c, s = np.cos(self.th[i]), np.sin(self.th[i])
+        # body x-axis in world coords: rotation about +y maps x̂ → (cosθ, −sinθ)
+        # in the x–z plane (positive θ = right tip down)
+        dx, dz = self.arm * c, -self.arm * s
+        self.body.set_data([px - dx, px + dx], [pz - dz, pz + dz])
+        self.rotors.set_data([px - dx, px + dx], [pz - dz, pz + dz])
+        self.trail.set_data(self.p[: i + 1, 0], self.p[: i + 1, 1])
+        return [self.trail, self.body, self.rotors]
+
+
 def make_animation(t, xs, us, cfg=None, env: str | None = None,
                    stride: int = 1, fps: int = 30):
     """Build (fig, FuncAnimation) for the episode. `cfg` (MPPIConfig) supplies
@@ -182,6 +221,8 @@ def make_animation(t, xs, us, cfg=None, env: str | None = None,
         scene = _PendulumScene(ax, xs, us)
     elif env.startswith("cartpole"):
         scene = _CartPoleScene(ax, xs, us)
+    elif env.startswith("quadrotor"):
+        scene = _QuadrotorScene(ax, xs, us, goal)
     else:
         dim = 3 if is3d else (1 if env.startswith("point_mass1") else 2)
         scene = _PointMassScene(ax, xs, us, goal, obstacles, dim)
@@ -206,11 +247,17 @@ def _mujoco_render_model(env: str, cfg):
     recorded states, so the extras cannot perturb the replay."""
     import mujoco
 
-    from mppi_gpu_tpu.envs import is_cartpole_env, is_pendulum_env, params_for_config
+    from mppi_gpu_tpu.envs import (
+        is_cartpole_env,
+        is_pendulum_env,
+        is_quadrotor_env,
+        params_for_config,
+    )
     from mppi_gpu_tpu.envs.mujoco_world import (
         _cartpole_mjcf,
         _pendulum_mjcf,
         _point_mass_mjcf,
+        _quadrotor_mjcf,
     )
 
     params = params_for_config(cfg) if cfg is not None else None
@@ -228,6 +275,16 @@ def _mujoco_render_model(env: str, cfg):
             f'<site name="target" pos="0 0 {params.length}" size="0.05" '
             'rgba="1 0.8 0.1 0.6"/>'
         )
+    elif is_quadrotor_env(env):
+        xml = _quadrotor_mjcf(params)
+        cam.lookat[:] = (0.0, 0.0, 0.3)
+        cam.distance, cam.elevation, cam.azimuth = 4.5, -10.0, 90.0
+        if cfg is not None and cfg.goal is not None:
+            g = np.asarray(cfg.goal, float)
+            extras.append(
+                f'<site name="target" pos="{g[0]} 0 {g[1]}" size="0.06" '
+                'rgba="1 0.8 0.1 0.7"/>'
+            )
     elif is_cartpole_env(env):
         xml = _cartpole_mjcf(params)
         cam.lookat[:] = (0.0, 0.0, 0.4)
@@ -311,7 +368,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-c", "--config", default=None,
                    help="YAML config (env family, goal, obstacles)")
     p.add_argument("--env", default=None,
-                   help="env family override (point_mass{1,2,3}d|pendulum|cartpole)")
+                   help="env family override (point_mass{1,2,3}d|pendulum|cartpole|quadrotor)")
     p.add_argument("-o", "--out", default=None, help="output GIF (default: <csv>.gif)")
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--stride", type=int, default=1,

@@ -278,6 +278,56 @@ for k in (0, K_c - 1):
     rel = abs(float(S_c[k]) - S_ref) / max(1.0, abs(S_ref))
     assert rel < 2e-4, f"cartpole k={k}: kernel {float(S_c[k])} scan {S_ref} rel={rel}"
 
+# --- quadrotor fused family on hardware: the A=2 coupled-action family
+# (collective + differential consumed together, state on per-group rows);
+# one-hot kernel A/B cross-check via the scan oracle + 'auto' resolution
+from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
+from mppi_gpu_tpu.ops.cost import QuadrotorHoverCost
+
+dyn_q = QuadrotorDynamics.create(1 / 60)
+cost_q = QuadrotorHoverCost(
+    w=jnp.array([4.0, 4.0, 10.0, 1.5, 1.5, 2.0]),
+    goal=jnp.array([1.0, 0.5, 0.0, 0.0, 0.0, 0.0]),
+    lambda_=jnp.float32(0.1), inv_s=jnp.array([1.0, 1.0 / 0.15**2]),
+)
+x0_q = jnp.array([-1.0, 0.0, 0.05, 0.2, 0.0, 0.1])
+T_q = 16
+U_q = jnp.stack(
+    [
+        7.848 + 0.4 * jnp.sin(0.3 * jnp.arange(T_q, dtype=jnp.float32)),
+        0.1 * jnp.cos(0.4 * jnp.arange(T_q, dtype=jnp.float32)),
+    ],
+    axis=1,
+)
+sig_q = jnp.array([1.0, 0.15])
+K_q = 800
+assert pr.family_for(dyn_q, cost_q) == "quadrotor"
+S_q = pr.pallas_rollout_costs(dyn_q, cost_q, x0_q, U_q, key, sig_q, K=K_q)
+plan_q = pr.make_plan(K_q, T_q, 2, family="quadrotor")
+assert plan_q.G == 4
+for k in (0, 5, K_q - 1):
+    w_q = jnp.zeros((plan_q.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = pr.pallas_weighted_update(dyn_q, cost_q, x0_q, U_q, key, sig_q, w_q, K=K_q)
+    S_ref = float(rollout_costs(dyn_q, cost_q, x0_q, U_q, eps_k[:, None, :])[0])
+    rel = abs(float(S_q[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 2e-4, f"quadrotor k={k}: kernel {float(S_q[k])} scan {S_ref} rel={rel}"
+
+Sf_q, dUf_q = pr.pallas_fused_solve_core(
+    dyn_q, cost_q, x0_q, U_q, key, sig_q, jnp.float32(0.1), K=K_q
+)
+assert jnp.allclose(Sf_q, S_q, rtol=1e-6), "quadrotor fused S mismatch"
+
+cfg_q = MPPIConfig(
+    env="quadrotor", samples=K_q, state_dim=6, action_dim=2, horizon=T_q,
+    dt=1 / 60, lambda_=0.1, noise=(1.0, 0.15), init_act=(7.848, 0.0),
+    max_a=(16.0, 3.0), goal=(1.0, 0.5, 0.0, 0.0, 0.0, 0.0),
+    cost_type="quadrotor", cost_w=(4.0, 4.0, 10.0, 1.5, 1.5, 2.0),
+)
+ctrl_q = MPPIController(cfg_q, rollout_backend="auto")
+assert ctrl_q.rollout_backend == "pallas", ctrl_q.rollout_backend
+res_q = ctrl_q.solve(x0_q, ctrl_q.init_action_seq(), ctrl_q.init_key())
+assert jnp.all(jnp.isfinite(jax.block_until_ready(res_q.action)))
+
 # --- obstacle fused family on hardware: penalty must fire and match scan
 from mppi_gpu_tpu.ops.cost import ObstacleCost
 

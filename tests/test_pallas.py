@@ -364,6 +364,91 @@ def test_interpret_testmode_obstacle_full_kernel_math(A, M):
     np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
 
 
+def _setup_quadrotor(T=12, K=300):
+    from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
+    from mppi_gpu_tpu.ops.cost import QuadrotorHoverCost
+
+    dyn = QuadrotorDynamics.create(0.02, mass=0.75, inertia=0.006,
+                                   arm=0.16, gravity=9.81)
+    cost = QuadrotorHoverCost(
+        w=jnp.asarray([3.0, 3.0, 8.0, 0.4, 0.4, 0.6]),
+        goal=jnp.asarray([0.8, 0.4, 0.0, 0.0, 0.0, 0.0]),
+        lambda_=jnp.float32(0.3), inv_s=jnp.asarray([1.0, 4.0]),
+    )
+    x0 = jnp.asarray([-0.5, 0.1, 0.08, 0.2, -0.1, 0.3])  # tilted, drifting
+    hover = 0.75 * 9.81
+    U = jnp.stack(
+        [
+            hover + 0.5 * jnp.sin(0.3 * jnp.arange(T, dtype=jnp.float32)),
+            0.2 * jnp.cos(0.4 * jnp.arange(T, dtype=jnp.float32)),
+        ],
+        axis=1,
+    )
+    sigma = jnp.asarray([1.0, 0.2])
+    return dyn, cost, x0, U, sigma
+
+
+@pytest.mark.parametrize("ou,anti", [(0.0, False), (0.5, False), (0.0, True)])
+def test_interpret_testmode_quadrotor_full_kernel_math(ou, anti):
+    """Fifth fused family: the planar quadrotor — the first with A=2
+    COUPLED action dims (collective + differential consumed together), so
+    the family gathers per-group action rows onto (G, KB) state tiles and
+    emits its cost on one row per group. Verified on CPU against the scan
+    oracle with identical pseudo-noise, across OU and antithetic modes
+    (whose per-dim row indexing is exactly what A=2 stresses)."""
+    K, T = 300, 12
+    dyn, cost, x0, U, sigma = _setup_quadrotor(T, K)
+    key = jax.random.key(11)
+    assert pr.family_for(dyn, cost) == "quadrotor"
+    plan = pr.make_plan(K, T, 2, antithetic=anti, ou_beta=ou, testmode=True,
+                        family="quadrotor")
+    assert plan.G == 4
+    eps_ref = pr.fake_noise_tensor(plan, sigma, ou_beta=ou, key=key)
+
+    S = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, antithetic=anti, ou_beta=ou,
+        interpret=True, testmode=True,
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S[:K]), np.asarray(S_oracle), rtol=5e-5)
+    assert np.all(np.asarray(S[K:]) > 1e37)
+
+    w = jax.random.dirichlet(key, jnp.ones((K,)))
+    w_pad = jnp.zeros((plan.Kpad,)).at[:K].set(w)
+    dU = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, w_pad, K=K, antithetic=anti, ou_beta=ou,
+        interpret=True, testmode=True,
+    )
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], w)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def test_interpret_testmode_quadrotor_fused_solve():
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    K, T = 300, 10
+    dyn, cost, x0, U, sigma = _setup_quadrotor(T, K)
+    key, lam = jax.random.key(5), jnp.float32(0.3)
+    plan = pr.make_plan(K, T, 2, testmode=True, family="quadrotor")
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(S_oracle), rtol=5e-5)
+    sm = softmin_weights(Sf, lam)
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], sm.weights[:K])
+    np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def test_quadrotor_auto_backend_resolution():
+    from mppi_gpu_tpu.controller import resolve_backend
+
+    dyn, cost, *_ = _setup_quadrotor()
+    assert resolve_backend("auto", dyn, cost, platform="tpu") == "pallas"
+    assert resolve_backend("auto", dyn, cost, platform="cpu") == "scan"
+
+
 def test_obstacle_auto_backend_resolution():
     from mppi_gpu_tpu.controller import resolve_backend
 

@@ -95,7 +95,7 @@ def test_plot_miss(tmp_path):
 @pytest.mark.parametrize(
     "env,s,a",
     [("point_mass1d", 2, 1), ("point_mass2d", 4, 2), ("point_mass3d", 6, 3),
-     ("pendulum", 2, 1), ("cartpole", 4, 1)],
+     ("pendulum", 2, 1), ("cartpole", 4, 1), ("quadrotor", 6, 2)],
 )
 def test_animate_all_scene_families(tmp_path, env, s, a):
     """The offline viewer (scripts/animate.py — substitute for the
@@ -115,26 +115,39 @@ def test_animate_all_scene_families(tmp_path, env, s, a):
     assert rc == 0 and out.exists() and out.stat().st_size > 500
 
 
+_EGL_PROBE = """
+import os
+os.environ.setdefault("MUJOCO_GL", "egl")
+import mujoco
+m = mujoco.MjModel.from_xml_string(
+    "<mujoco><worldbody><geom type='sphere' size='.1'/></worldbody></mujoco>"
+)
+r = mujoco.Renderer(m, 16, 16)
+r.close()
+print("EGL_OK")
+"""
+
+
 def _egl_rendering_available() -> bool:
+    # probe in a SUBPROCESS: when EGL is broken, mujoco.Renderer can abort()
+    # at the C level (uncatchable — it would kill the whole pytest run)
+    import subprocess as _sp
+    import sys as _sys
+
     try:
-        import os as _os
-
-        _os.environ.setdefault("MUJOCO_GL", "egl")
-        import mujoco
-
-        m = mujoco.MjModel.from_xml_string(
-            "<mujoco><worldbody><geom type='sphere' size='.1'/></worldbody></mujoco>"
+        out = _sp.run(
+            [_sys.executable, "-c", _EGL_PROBE],
+            capture_output=True, text=True, timeout=120,
         )
-        r = mujoco.Renderer(m, 16, 16)
-        r.close()
-        return True
     except Exception:
         return False
+    return "EGL_OK" in out.stdout
 
 
 @pytest.mark.parametrize(
     "env,s,a",
-    [("point_mass2d", 4, 2), ("pendulum", 2, 1), ("cartpole", 4, 1)],
+    [("point_mass2d", 4, 2), ("pendulum", 2, 1), ("cartpole", 4, 1),
+     ("quadrotor", 6, 2)],
 )
 def test_animate_mujoco_renderer(tmp_path, env, s, a):
     """`--renderer mujoco`: the recorded episode replayed through the real
@@ -149,12 +162,20 @@ def test_animate_mujoco_renderer(tmp_path, env, s, a):
         0.3 * np.random.default_rng(2).normal(size=(n, s)),
         0.3 * np.random.default_rng(3).normal(size=(n, a)),
     )
-    mod = _load_script("animate.py")
     cfg = os.path.join(ROOT, "configs", f"{env}.yaml")
     out = tmp_path / "mj.gif"
-    rc = mod.main([str(path), "-c", cfg, "-o", str(out),
-                   "--renderer", "mujoco", "--fps", "10"])
-    assert rc == 0 and out.exists() and out.stat().st_size > 500
+    # subprocess: a broken EGL stack aborts at the C level inside
+    # mujoco.Renderer, which would take the whole pytest run down with it
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "animate.py"),
+         str(path), "-c", cfg, "-o", str(out), "--renderer", "mujoco",
+         "--fps", "10"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, f"stdout:{r.stdout}\nstderr:{r.stderr[-1500:]}"
+    assert out.exists() and out.stat().st_size > 500
 
 
 def test_animate_with_config_obstacles(tmp_path):
