@@ -47,3 +47,12 @@ def test_obstacle_nav_smoke(tmp_path, capsys):
     assert "min clearance" in out
     assert (tmp_path / "nav.png").exists()
     assert rc in (0, 1)  # 30 steps won't reach the goal; clearance still checked
+
+
+def test_quadrotor_waypoints_smoke(tmp_path, capsys):
+    mod = _load("quadrotor_waypoints.py")
+    rc = mod.main(["-o", str(tmp_path / "wp.png"), "--steps", "40"])
+    out = capsys.readouterr().out
+    assert "waypoints visited" in out
+    assert (tmp_path / "wp.png").exists()
+    assert rc in (0, 1)  # 40 steps can't finish the tour; pipeline still runs
