@@ -255,12 +255,15 @@ def run_sharded(args) -> dict:
             f"strong (K={args.k}) p50={strong['p50_ms']:.3f} ms",
             file=sys.stderr,
         )
+    # efficiency is normalized to the smallest measured mesh (the anchor) —
+    # with --mesh-sizes not starting at 1 that anchor is rows[0]["n"], not 1
+    n0 = rows[0]["n"]
     t1w, t1s = rows[0]["weak_ms"], rows[0]["strong_ms"]
     for r in rows:
         r["weak_eff"] = round(t1w / r["weak_ms"], 3)
-        r["strong_eff"] = round(t1s / (r["n"] * r["strong_ms"]), 3)
+        r["strong_eff"] = round(n0 * t1s / (r["n"] * r["strong_ms"]), 3)
     print(
-        "scaling efficiency (vs n=1): "
+        f"scaling efficiency (vs n={n0} anchor): "
         + "  ".join(
             f"n={r['n']}: weak {r['weak_eff']:.0%} strong {r['strong_eff']:.0%}"
             for r in rows

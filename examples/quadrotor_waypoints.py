@@ -56,6 +56,7 @@ def main(argv=None) -> int:
         if (
             np.hypot(x[0] - wx, x[1] - wz) < REACH
             and np.hypot(x[3], x[4]) < 0.8
+            and wp_idx not in {i for _, i in reached_at}  # first-reach events only
         ):
             reached_at.append((step, wp_idx))
             if wp_idx < len(WAYPOINTS) - 1:

@@ -51,59 +51,66 @@ def _load() -> ctypes.CDLL | None:
             return None
         try:
             lib = ctypes.CDLL(str(_SO))
-        except OSError:
+            _bind(lib)
+        except (OSError, AttributeError):
+            # AttributeError: a stale pre-built .so that predates a newer
+            # symbol (and g++ was unavailable to rebuild) — treat exactly
+            # like a load failure so callers fall back to the JAX world.
             _load_failed = True
             return None
-        f32p = ctypes.POINTER(ctypes.c_float)
-        lib.mppi_world_create.restype = ctypes.c_void_p
-        lib.mppi_world_create.argtypes = [ctypes.c_int] + [ctypes.c_float] * 9
-        lib.mppi_world_destroy.argtypes = [ctypes.c_void_p]
-        lib.mppi_world_reset.argtypes = [ctypes.c_void_p]
-        lib.mppi_world_simulate.restype = ctypes.c_int
-        lib.mppi_world_simulate.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_world_step.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_world_get_x.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_world_time.restype = ctypes.c_float
-        lib.mppi_world_time.argtypes = [ctypes.c_void_p]
-        lib.mppi_world_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
-        lib.mppi_pendulum_create.restype = ctypes.c_void_p
-        lib.mppi_pendulum_create.argtypes = [ctypes.c_float] * 9
-        lib.mppi_pendulum_destroy.argtypes = [ctypes.c_void_p]
-        lib.mppi_pendulum_reset.argtypes = [ctypes.c_void_p]
-        lib.mppi_pendulum_simulate.restype = ctypes.c_int
-        lib.mppi_pendulum_simulate.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_pendulum_step.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_pendulum_get_x.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_pendulum_time.restype = ctypes.c_float
-        lib.mppi_pendulum_time.argtypes = [ctypes.c_void_p]
-        lib.mppi_pendulum_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
-        lib.mppi_cartpole_create.restype = ctypes.c_void_p
-        lib.mppi_cartpole_create.argtypes = [ctypes.c_float] * 10
-        lib.mppi_cartpole_destroy.argtypes = [ctypes.c_void_p]
-        lib.mppi_cartpole_reset.argtypes = [ctypes.c_void_p]
-        lib.mppi_cartpole_simulate.restype = ctypes.c_int
-        lib.mppi_cartpole_simulate.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_cartpole_step.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_cartpole_get_x.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_cartpole_time.restype = ctypes.c_float
-        lib.mppi_cartpole_time.argtypes = [ctypes.c_void_p]
-        lib.mppi_cartpole_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
-        lib.mppi_quadrotor_create.restype = ctypes.c_void_p
-        lib.mppi_quadrotor_create.argtypes = [ctypes.c_float] * 10
-        lib.mppi_quadrotor_destroy.argtypes = [ctypes.c_void_p]
-        lib.mppi_quadrotor_reset.argtypes = [ctypes.c_void_p]
-        lib.mppi_quadrotor_simulate.restype = ctypes.c_int
-        lib.mppi_quadrotor_simulate.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_quadrotor_step.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_quadrotor_get_x.argtypes = [ctypes.c_void_p, f32p]
-        lib.mppi_quadrotor_time.restype = ctypes.c_float
-        lib.mppi_quadrotor_time.argtypes = [ctypes.c_void_p]
-        lib.mppi_quadrotor_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
-        lib.mppi_world_steps_per_control.restype = ctypes.c_int
-        lib.mppi_world_steps_per_control.argtypes = [ctypes.c_void_p]
-        lib.mppi_world_rollout.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.mppi_world_create.restype = ctypes.c_void_p
+    lib.mppi_world_create.argtypes = [ctypes.c_int] + [ctypes.c_float] * 9
+    lib.mppi_world_destroy.argtypes = [ctypes.c_void_p]
+    lib.mppi_world_reset.argtypes = [ctypes.c_void_p]
+    lib.mppi_world_simulate.restype = ctypes.c_int
+    lib.mppi_world_simulate.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_world_step.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_world_get_x.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_world_time.restype = ctypes.c_float
+    lib.mppi_world_time.argtypes = [ctypes.c_void_p]
+    lib.mppi_world_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
+    lib.mppi_pendulum_create.restype = ctypes.c_void_p
+    lib.mppi_pendulum_create.argtypes = [ctypes.c_float] * 9
+    lib.mppi_pendulum_destroy.argtypes = [ctypes.c_void_p]
+    lib.mppi_pendulum_reset.argtypes = [ctypes.c_void_p]
+    lib.mppi_pendulum_simulate.restype = ctypes.c_int
+    lib.mppi_pendulum_simulate.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_pendulum_step.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_pendulum_get_x.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_pendulum_time.restype = ctypes.c_float
+    lib.mppi_pendulum_time.argtypes = [ctypes.c_void_p]
+    lib.mppi_pendulum_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
+    lib.mppi_cartpole_create.restype = ctypes.c_void_p
+    lib.mppi_cartpole_create.argtypes = [ctypes.c_float] * 10
+    lib.mppi_cartpole_destroy.argtypes = [ctypes.c_void_p]
+    lib.mppi_cartpole_reset.argtypes = [ctypes.c_void_p]
+    lib.mppi_cartpole_simulate.restype = ctypes.c_int
+    lib.mppi_cartpole_simulate.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_cartpole_step.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_cartpole_get_x.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_cartpole_time.restype = ctypes.c_float
+    lib.mppi_cartpole_time.argtypes = [ctypes.c_void_p]
+    lib.mppi_cartpole_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
+    lib.mppi_quadrotor_create.restype = ctypes.c_void_p
+    lib.mppi_quadrotor_create.argtypes = [ctypes.c_float] * 10
+    lib.mppi_quadrotor_destroy.argtypes = [ctypes.c_void_p]
+    lib.mppi_quadrotor_reset.argtypes = [ctypes.c_void_p]
+    lib.mppi_quadrotor_simulate.restype = ctypes.c_int
+    lib.mppi_quadrotor_simulate.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_quadrotor_step.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_quadrotor_get_x.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_quadrotor_time.restype = ctypes.c_float
+    lib.mppi_quadrotor_time.argtypes = [ctypes.c_void_p]
+    lib.mppi_quadrotor_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
+    lib.mppi_world_steps_per_control.restype = ctypes.c_int
+    lib.mppi_world_steps_per_control.argtypes = [ctypes.c_void_p]
+    lib.mppi_world_rollout.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
 
 
 def native_available() -> bool:

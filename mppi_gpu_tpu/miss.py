@@ -15,6 +15,7 @@ import argparse
 import csv
 import sys
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -185,26 +186,28 @@ def run_mismatch_config(
             )
         xw_full = None
 
-    @_jax.jit
-    def rollouts(us):
+    # the jitted jax-world rollout only runs when it IS the plant — the
+    # native/mujoco backends already produced xw_full on the host
+    @partial(_jax.jit, static_argnames="with_world")
+    def rollouts(us, with_world):
+        def mbody(x, u):
+            x1 = dyn.step(x, u)
+            return x1, x1
+
+        _, xm = _jax.lax.scan(mbody, x0, us)
+        xm = jnp.concatenate([x0[None], xm], axis=0)
+        if not with_world:
+            return xm, xm
+
         def wbody(ws, u):
             for _ in range(phys_steps):
                 ws = world.physics_step(ws, u)
             return ws, ws.x
 
         _, xw = _jax.lax.scan(wbody, ws0, us)
+        return xm, jnp.concatenate([x0[None], xw], axis=0)
 
-        def mbody(x, u):
-            x1 = dyn.step(x, u)
-            return x1, x1
-
-        _, xm = _jax.lax.scan(mbody, x0, us)
-        return (
-            jnp.concatenate([x0[None], xm], axis=0),
-            jnp.concatenate([x0[None], xw], axis=0),
-        )
-
-    xm, xw = rollouts(jnp.asarray(us))
+    xm, xw = rollouts(jnp.asarray(us), with_world=xw_full is None)
     if xw_full is not None:
         xw = xw_full
     return MismatchResult(

@@ -180,41 +180,42 @@ def run_closed_loop(
             )
         x = jnp.asarray(xs[-1])
         U_prev = U
-        with timer.measure():
-            res = ctrl.solve_auto(x, U, key, step)
+        is_dump = bool(step_dump_every and step % step_dump_every == 0 and step_dump_dir)
+        if is_dump:
+            # Dump steps run solve_debug INSTEAD of the hot-path solve — it
+            # is backend-faithful (scan reproduces the threefry stream,
+            # pallas replays the on-chip PRNG stream via the noise-dump
+            # kernel), so the CSV documents the exact solve that drives the
+            # robot — the analog of the reference's bit-faithful get_inf
+            # download of the executed buffers (src/point_mass.cu:236-262,
+            # src/main.cu:355-367). Excluded from the solve timer: it
+            # materializes eps + the (T+1, K, s) history the hot path never
+            # pays for. (Under a sharded controller the dump documents the
+            # single-chip-equivalent solve instead; the sharded noise layout
+            # is per-device.)
+            res, eps, traj = ctrl.solve_debug(
+                x, U_prev, jax.random.fold_in(key, step)
+            )
             res.action.block_until_ready()
+            write_step_dump_csv(
+                os.path.join(step_dump_dir, f"step_{step:05d}.csv"),
+                np.asarray(traj), np.asarray(eps),
+                np.asarray(res.info.u_seq), np.asarray(U_prev),
+                np.asarray(res.info.weights), np.asarray(res.info.costs),
+            )
+        else:
+            with timer.measure():
+                res = ctrl.solve_auto(x, U, key, step)
+                res.action.block_until_ready()
         action = np.asarray(res.action)
         U = res.u_next
         if validate:
             # free on the happy path: `action` is already on the host, and the
-            # (K,) diagnostics are only fetched after a failure is detected
+            # (K,) diagnostics are only fetched after a failure is detected.
+            # Guards the result that actually advances the world, dump or not.
             from mppi_gpu_tpu.utils.guard import check_solve
 
             check_solve(step, action, res.info)
-
-        if step_dump_every and step % step_dump_every == 0 and step_dump_dir:
-            # Dump the solve for this state and key, materializing eps + full
-            # sampled trajectories (the reference's save_step path,
-            # src/main.cu:355-367). solve_debug is backend-faithful: scan
-            # reproduces the threefry stream, pallas replays the on-chip PRNG
-            # stream via the noise-dump kernel. The episode then ADVANCES
-            # with the dump's own result, so the CSV documents the exact
-            # solve that drove the robot — the analog of the reference's
-            # bit-faithful get_inf download of the executed buffers
-            # (src/point_mass.cu:236-262). (Under a sharded controller the
-            # dump documents the single-chip-equivalent solve instead; the
-            # sharded noise layout is per-device.)
-            dbg_res, eps, traj = ctrl.solve_debug(
-                x, U_prev, jax.random.fold_in(key, step)
-            )
-            write_step_dump_csv(
-                os.path.join(step_dump_dir, f"step_{step:05d}.csv"),
-                np.asarray(traj), np.asarray(eps),
-                np.asarray(dbg_res.info.u_seq), np.asarray(U_prev),
-                np.asarray(dbg_res.info.weights), np.asarray(dbg_res.info.costs),
-            )
-            action = np.asarray(dbg_res.action)
-            U = dbg_res.u_next
 
         done = world.simulate(action)
         if done:

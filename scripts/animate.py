@@ -75,6 +75,17 @@ class _PointMassScene:
                 if g is not None:
                     vals += [g[axis]]
                 set_lim(*_pad_limits(min(vals), max(vals)))
+            uu, vv = np.meshgrid(
+                np.linspace(0.0, 2.0 * np.pi, 24), np.linspace(0.0, np.pi, 12)
+            )
+            for ob in obstacles:
+                c, r = np.asarray(ob[:3], float), float(ob[-1])
+                ax.plot_surface(
+                    c[0] + r * np.cos(uu) * np.sin(vv),
+                    c[1] + r * np.sin(uu) * np.sin(vv),
+                    c[2] + r * np.cos(vv),
+                    color="crimson", alpha=0.2, linewidth=0, zorder=1,
+                )
         else:
             vals0 = [p[:, 0].min(), p[:, 0].max()] + ([g[0]] if g is not None else [])
             vals1 = [p[:, 1].min(), p[:, 1].max()] + ([g[1]] if g is not None else [])
