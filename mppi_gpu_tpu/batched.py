@@ -15,6 +15,7 @@ would mis-seed under vmap's prepended batch axis.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -23,7 +24,37 @@ import jax.numpy as jnp
 from mppi_gpu_tpu.config import MPPIConfig
 from mppi_gpu_tpu.controller import MPPIController, SolveResult, mppi_solve
 from mppi_gpu_tpu.models.base import Dynamics
-from mppi_gpu_tpu.ops.cost import Cost, QuadraticCost
+from mppi_gpu_tpu.ops.cost import Cost
+
+
+def _has_goal(c) -> bool:
+    return dataclasses.is_dataclass(c) and any(
+        f.name == "goal" for f in dataclasses.fields(c)
+    )
+
+
+def _batch_goals(cost: Cost, goals: jax.Array):
+    """(batched_cost, vmap_axes): stack per-robot goals onto the cost's
+    `goal` leaf — works for ANY registered cost dataclass with a `goal`
+    field (quadratic, quadrotor-hover, …), or one wrapping such a cost in a
+    `base` field (the obstacle cost)."""
+    none_axes = jax.tree_util.tree_map(lambda _: None, cost)
+    if _has_goal(cost):
+        return (
+            dataclasses.replace(cost, goal=goals),
+            dataclasses.replace(none_axes, goal=0),
+        )
+    if hasattr(cost, "base") and _has_goal(cost.base):
+        return (
+            dataclasses.replace(cost, base=dataclasses.replace(cost.base, goal=goals)),
+            dataclasses.replace(
+                none_axes, base=dataclasses.replace(none_axes.base, goal=0)
+            ),
+        )
+    raise TypeError(
+        f"per-robot goals need a cost with a 'goal' field; "
+        f"{type(cost).__name__} has none (its target is built in)"
+    )
 
 
 class BatchedMPPIController(MPPIController):
@@ -50,13 +81,7 @@ class BatchedMPPIController(MPPIController):
                 raise ValueError(
                     f"goals must be ({n_robots}, {cfg.state_dim}), got {goals.shape}"
                 )
-            if not isinstance(self.cost, QuadraticCost):
-                raise TypeError("per-robot goals require QuadraticCost")
-            self.cost = QuadraticCost(
-                w=self.cost.w, goal=goals,
-                lambda_=self.cost.lambda_, inv_s=self.cost.inv_s,
-            )
-            cost_axes = QuadraticCost(w=None, goal=0, lambda_=None, inv_s=None)
+            self.cost, cost_axes = _batch_goals(self.cost, goals)
 
         solve = partial(
             mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,

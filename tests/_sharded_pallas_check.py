@@ -53,12 +53,13 @@ def make_cfg(K, T, a, antithetic=False):
     )
 
 
-def check(K, T, a, antithetic, key_seed, x, U):
+def check(K, T, a, antithetic, key_seed, x, U, cfg=None):
     """Sharded pallas-interpret solve vs single-device oracle on the
     concatenated per-shard pseudo-noise."""
     n = 8
     mesh = make_mesh(n)
-    cfg = make_cfg(K, T, a, antithetic)
+    if cfg is None:
+        cfg = make_cfg(K, T, a, antithetic)
     ctrl = ShardedMPPIController(
         cfg, mesh=mesh, rollout_backend="pallas-interpret", testmode=True
     )
@@ -109,6 +110,36 @@ elif scenario == "anti":
         8 * 16, 6, 2, True, 5,
         jnp.zeros(4, jnp.float32),
         0.1 * jnp.ones((6, 2), jnp.float32),
+    )
+elif scenario == "pendulum":
+    # a nonlinear fused family under the sharded path: same collectives,
+    # different kernel family (trig dynamics, A=1 packing)
+    check(
+        8 * 16, 6, 1, False, 3,
+        jnp.asarray([2.5, 0.0], jnp.float32),
+        0.1 * jnp.ones((6, 1), jnp.float32),
+        cfg=MPPIConfig(
+            env="pendulum", samples=8 * 16, state_dim=2, action_dim=1,
+            horizon=6, dt=0.05, lambda_=0.2, noise=(1.0,), init_act=(0.0,),
+            max_a=(2.0,), goal=(0.0, 0.0), cost_type="pendulum",
+            cost_w=(8.0, 0.08),
+        ),
+    )
+elif scenario == "quadrotor":
+    # the A=2 coupled-action family (mixer space, nonzero nominal) sharded
+    check(
+        8 * 16, 5, 2, False, 9,
+        jnp.asarray([-1.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32),
+        jnp.broadcast_to(
+            jnp.asarray([7.848, 0.0], jnp.float32), (5, 2)
+        ),
+        cfg=MPPIConfig(
+            env="quadrotor", samples=8 * 16, state_dim=6, action_dim=2,
+            horizon=5, dt=1.0 / 60.0, lambda_=0.1, noise=(1.0, 0.15),
+            init_act=(7.848, 0.0), max_a=(16.0, 3.0),
+            goal=(1.0, 0.5, 0.0, 0.0, 0.0, 0.0), cost_type="quadrotor",
+            cost_w=(4.0, 4.0, 10.0, 1.5, 1.5, 2.0),
+        ),
     )
 else:
     raise SystemExit(f"unknown scenario {scenario!r}")

@@ -48,3 +48,47 @@ def test_per_robot_goals_steer_apart():
     # robot 0 pushes toward +1, robot 1 toward −1
     assert float(res.action[0, 0]) > 0.05
     assert float(res.action[1, 0]) < -0.05
+
+
+def test_per_robot_goals_quadrotor_fleet():
+    """Per-robot goals generalize past the quadratic cost: a quadrotor
+    fleet with one robot targeting +x and one −x splits its differential
+    commands accordingly (robots start level at the origin, so the tilt
+    decision is the first observable difference)."""
+    cfg = load_config("configs/quadrotor.yaml").replace(samples=256, horizon=30)
+    B = 2
+    goals = jnp.asarray(
+        [[2.0, 0.0, 0.0, 0.0, 0.0, 0.0], [-2.0, 0.0, 0.0, 0.0, 0.0, 0.0]]
+    )
+    ctrl = BatchedMPPIController(cfg, B, goals=goals)
+    xs = jnp.zeros((B, cfg.state_dim))
+    res = ctrl.solve_batch(xs, ctrl.init_action_seqs(), ctrl.init_keys())
+    # +x needs theta > 0 (right tip down) => positive differential D, and
+    # vice versa; compare the early-horizon mean D per robot
+    D0 = float(jnp.mean(res.u_next[0, :10, 1]))
+    D1 = float(jnp.mean(res.u_next[1, :10, 1]))
+    assert D0 > D1, (D0, D1)
+
+
+def test_per_robot_goals_obstacle_cost():
+    """The obstacle cost wraps its quadratic goal in `base` — per-robot
+    goals must reach through the wrapper."""
+    cfg = load_config("configs/point_mass1d.yaml").replace(
+        samples=256, horizon=20, cost_type="obstacle",
+        obstacles=((5.0, 0.5),),  # (x, radius) far away: behaves like plain quadratic
+    )
+    goals = jnp.asarray([[1.0, 0.0], [-1.0, 0.0]])
+    ctrl = BatchedMPPIController(cfg, 2, goals=goals)
+    res = ctrl.solve_batch(
+        jnp.zeros((2, cfg.state_dim)), ctrl.init_action_seqs(), ctrl.init_keys()
+    )
+    assert float(res.action[0, 0]) > 0.05
+    assert float(res.action[1, 0]) < -0.05
+
+
+def test_per_robot_goals_rejected_for_builtin_target_costs():
+    import pytest
+
+    cfg = load_config("configs/pendulum.yaml").replace(samples=64, horizon=10)
+    with pytest.raises(TypeError, match="goal"):
+        BatchedMPPIController(cfg, 2, goals=jnp.zeros((2, 2)))

@@ -102,7 +102,7 @@ def test_sharded_rejects_uneven_K(mesh8):
         )
 
 
-@pytest.mark.parametrize("scenario", ["iid", "anti"])
+@pytest.mark.parametrize("scenario", ["iid", "anti", "pendulum", "quadrotor"])
 def test_sharded_pallas_testmode_matches_oracle(scenario):
     """THE production multi-chip configuration — the two-kernel Pallas path
     under `shard_map` with real pmin/psum across 8 shards — executed on the
@@ -140,6 +140,47 @@ def test_sharded_pallas_testmode_matches_oracle(scenario):
             f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-2000:]}"
         )
     pytest.fail(f"all attempts: {last}")
+
+
+def test_sharded_nonlinear_family_matches_replay(mesh8):
+    """The sharded (scan) solve composes with a nonlinear model family —
+    the per-shard noise reconstruction is family-independent, so the exact
+    replay through the single-device deterministic solve must agree for the
+    quadrotor (A=2 coupled actions, nonzero nominal) just as for the LTI."""
+    cfg = MPPIConfig(
+        env="quadrotor", samples=64, state_dim=6, action_dim=2, horizon=8,
+        dt=1.0 / 60.0, lambda_=0.1, noise=(1.0, 0.15), init_act=(7.848, 0.0),
+        max_a=(16.0, 3.0), goal=(1.0, 0.5, 0.0, 0.0, 0.0, 0.0),
+        cost_type="quadrotor", cost_w=(4.0, 4.0, 10.0, 1.5, 1.5, 2.0),
+    )
+    ctrl = ShardedMPPIController(cfg, mesh=mesh8, rollout_backend="scan")
+    x = jnp.asarray([-1.0, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)
+    U = ctrl.init_action_seq()
+    key = jax.random.key(21)
+    res = ctrl.solve(x, U, key)
+
+    n, k_loc = 8, cfg.samples // 8
+    sigma = jnp.asarray(cfg.noise, jnp.float32)
+    eps = jnp.concatenate(
+        [
+            sigma * jax.random.normal(
+                jax.random.fold_in(key, d),
+                (cfg.horizon, k_loc, cfg.action_dim), jnp.float32,
+            )
+            for d in range(n)
+        ],
+        axis=1,
+    )
+    ref = mppi_solve_deterministic(
+        ctrl.dynamics, ctrl.cost, x, U, eps,
+        ctrl.lambda_, ctrl.max_a, clamp=cfg.clamp_action,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.action), np.asarray(ref.action), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.info.costs), np.asarray(ref.info.costs), rtol=1e-5
+    )
 
 
 def test_sharded_vs_single_distribution():
