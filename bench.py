@@ -72,6 +72,16 @@ def build(K: int, T: int, backend: str, antithetic: bool = False,
             cost_type="quadrotor", cost_w=(4.0, 4.0, 10.0, 1.5, 1.5, 2.0),
             antithetic=antithetic,
         )
+    elif family == "quadrotor3d":
+        cfg = MPPIConfig(
+            env="quadrotor3d", samples=K, state_dim=13, action_dim=4, horizon=T,
+            dt=1 / 60, lambda_=0.3, noise=(1.2, 0.04, 0.04, 0.008),
+            init_act=(7.848, 0.0, 0.0, 0.0), max_a=(32.0, 0.4, 0.4, 0.04),
+            goal=(1.0, 0.5, 1.0, 1.0) + (0.0,) * 9,
+            cost_type="quadrotor3d",
+            cost_w=(4.0, 4.0, 4.0, 10.0, 3.0, 3.0, 3.0, 0.5),
+            antithetic=antithetic,
+        )
     elif family == "obstacle":
         cfg = MPPIConfig(
             env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
@@ -138,6 +148,12 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
         x = jnp.asarray([0.1, 0.2, 0.0, 0.0], jnp.float32)  # pole leaning
     elif family == "quadrotor":
         x = jnp.asarray([-1.0, 0.0, 0.05, 0.2, 0.0, 0.1], jnp.float32)
+    elif family == "quadrotor3d":
+        x = jnp.concatenate(
+            [jnp.asarray([-1.0, 0.0, 0.5]),
+             jnp.asarray([1.0, 0.0, 0.0, 0.0]),     # level
+             jnp.asarray([0.2, 0.0, 0.1]), jnp.asarray([0.0, 0.1, 0.0])]
+        ).astype(jnp.float32)
     else:  # lti / obstacle (point_mass3d state)
         x = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
     U0 = ctrl.init_action_seq()
@@ -339,6 +355,8 @@ ALL_CASES = [
     (100_000, "pallas", False, 20, "obstacle"),
     (100_000, "scan", False, 20, "quadrotor"),
     (100_000, "pallas", False, 20, "quadrotor"),
+    (100_000, "scan", False, 20, "quadrotor3d"),
+    (100_000, "pallas", False, 20, "quadrotor3d"),
 ]
 
 
@@ -436,7 +454,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp", action="store_true",
                    help="MLP(128x128) residual dynamics instead of analytic LTI")
     p.add_argument("--family", default="lti",
-                   choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor"),
+                   choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor", "quadrotor3d"),
                    help="fused model family for the workload")
     p.add_argument("--sharded", action="store_true",
                    help="mesh-size sweep with weak/strong scaling efficiency")

@@ -460,4 +460,139 @@ void mppi_quadrotor_set_state(Quadrotor* q, const float* x, float time) {
 
 }  // extern "C" (quadrotor fns)
 
+// ---------------------------------------------------------------------------
+// 3-D quadrotor world (fifth model family): same rigid-body ODE as the JAX
+// world in mppi_gpu_tpu/envs/quadrotor3d_world.py — state
+// [p(3), quat(4: w,x,y,z), v(3), body omega(3)], action u = [F, tx, ty, tz]
+// mixer command inverted to four per-rotor thrusts ("+" configuration,
+// arm r, yaw drag kappa), each clamped to [0, max_thrust], achieved wrench
+// reconstituted. RK4 at `timestep`, quaternion normalized per step.
+
+struct Quadrotor3D {
+  float mass, jx, jy, jz, arm, kappa, gravity, max_thrust;
+  float timestep, control_period, sim_end;
+  float init_p[3];
+  float s[13];
+  float time;
+  int steps_per_control;
+};
+
+static void quad3d_derivs(const Quadrotor3D* q, const float* y,
+                          const float* wrench, float* dy) {
+  const float qw = y[3], qx = y[4], qy = y[5], qz = y[6];
+  const float wx = y[10], wy = y[11], wz = y[12];
+  const float fm = wrench[0] / q->mass;
+  dy[0] = y[7];
+  dy[1] = y[8];
+  dy[2] = y[9];
+  dy[3] = -0.5f * (qx * wx + qy * wy + qz * wz);
+  dy[4] = 0.5f * (qw * wx + qy * wz - qz * wy);
+  dy[5] = 0.5f * (qw * wy + qz * wx - qx * wz);
+  dy[6] = 0.5f * (qw * wz + qx * wy - qy * wx);
+  dy[7] = 2.0f * (qx * qz + qw * qy) * fm;
+  dy[8] = 2.0f * (qy * qz - qw * qx) * fm;
+  dy[9] = (1.0f - 2.0f * (qx * qx + qy * qy)) * fm - q->gravity;
+  dy[10] = (wrench[1] - (q->jz - q->jy) * wy * wz) / q->jx;
+  dy[11] = (wrench[2] - (q->jx - q->jz) * wz * wx) / q->jy;
+  dy[12] = (wrench[3] - (q->jy - q->jx) * wx * wy) / q->jz;
+}
+
+static void quad3d_physics_step(Quadrotor3D* q, const float* u) {
+  const float h = q->timestep;
+  // mixer: [F, tx, ty, tz] -> rotor thrusts (f1 +x CCW, f2 +y CW,
+  // f3 -x CCW, f4 -y CW), clamped; reconstitute the achieved wrench
+  const float qf = 0.25f * u[0];
+  const float gx = u[1] / (2.0f * q->arm);
+  const float gy = u[2] / (2.0f * q->arm);
+  const float gz = u[3] / (4.0f * q->kappa);
+  const float f1 = clampf(qf - gy + gz, 0.0f, q->max_thrust);
+  const float f2 = clampf(qf + gx - gz, 0.0f, q->max_thrust);
+  const float f3 = clampf(qf + gy + gz, 0.0f, q->max_thrust);
+  const float f4 = clampf(qf - gx - gz, 0.0f, q->max_thrust);
+  const float wrench[4] = {f1 + f2 + f3 + f4, q->arm * (f2 - f4),
+                           q->arm * (f3 - f1),
+                           q->kappa * (f1 - f2 + f3 - f4)};
+  float k1[13], k2[13], k3[13], k4[13], ys[13];
+  quad3d_derivs(q, q->s, wrench, k1);
+  for (int i = 0; i < 13; ++i) ys[i] = q->s[i] + 0.5f * h * k1[i];
+  quad3d_derivs(q, ys, wrench, k2);
+  for (int i = 0; i < 13; ++i) ys[i] = q->s[i] + 0.5f * h * k2[i];
+  quad3d_derivs(q, ys, wrench, k3);
+  for (int i = 0; i < 13; ++i) ys[i] = q->s[i] + h * k3[i];
+  quad3d_derivs(q, ys, wrench, k4);
+  for (int i = 0; i < 13; ++i)
+    q->s[i] += (h / 6.0f) * (k1[i] + 2.0f * k2[i] + 2.0f * k3[i] + k4[i]);
+  const float n2 = q->s[3] * q->s[3] + q->s[4] * q->s[4] +
+                   q->s[5] * q->s[5] + q->s[6] * q->s[6];
+  const float inv = 1.0f / std::sqrt(n2);
+  for (int i = 3; i < 7; ++i) q->s[i] *= inv;
+  q->time += h;
+}
+
+extern "C" {
+
+void mppi_quadrotor3d_reset(Quadrotor3D* q);
+
+Quadrotor3D* mppi_quadrotor3d_create(float mass, float jx, float jy, float jz,
+                                     float arm, float kappa, float gravity,
+                                     float max_thrust, float timestep,
+                                     float control_period, float sim_end,
+                                     float init_px, float init_py,
+                                     float init_pz) {
+  Quadrotor3D* q = static_cast<Quadrotor3D*>(std::calloc(1, sizeof(Quadrotor3D)));
+  if (!q) return nullptr;
+  q->mass = mass;
+  q->jx = jx;
+  q->jy = jy;
+  q->jz = jz;
+  q->arm = arm;
+  q->kappa = kappa;
+  q->gravity = gravity;
+  q->max_thrust = max_thrust;
+  q->timestep = timestep;
+  q->control_period = control_period;
+  q->sim_end = sim_end;
+  q->init_p[0] = init_px;
+  q->init_p[1] = init_py;
+  q->init_p[2] = init_pz;
+  q->steps_per_control =
+      static_cast<int>(std::ceil(control_period / timestep - 1e-9));
+  mppi_quadrotor3d_reset(q);
+  return q;
+}
+
+void mppi_quadrotor3d_destroy(Quadrotor3D* q) { std::free(q); }
+
+void mppi_quadrotor3d_reset(Quadrotor3D* q) {
+  std::memset(q->s, 0, sizeof(q->s));
+  q->s[0] = q->init_p[0];
+  q->s[1] = q->init_p[1];
+  q->s[2] = q->init_p[2];
+  q->s[3] = 1.0f;  // identity quaternion
+  q->time = q->timestep;
+}
+
+int mppi_quadrotor3d_simulate(Quadrotor3D* q, const float* u) {
+  if (q->time >= q->sim_end) return 1;
+  for (int s = 0; s < q->steps_per_control; ++s) quad3d_physics_step(q, u);
+  return 0;
+}
+
+void mppi_quadrotor3d_step(Quadrotor3D* q, const float* u) {
+  quad3d_physics_step(q, u);
+}
+
+void mppi_quadrotor3d_get_x(Quadrotor3D* q, float* x) {
+  for (int i = 0; i < 13; ++i) x[i] = q->s[i];
+}
+
+float mppi_quadrotor3d_time(Quadrotor3D* q) { return q->time; }
+
+void mppi_quadrotor3d_set_state(Quadrotor3D* q, const float* x, float time) {
+  for (int i = 0; i < 13; ++i) q->s[i] = x[i];
+  q->time = time;
+}
+
+}  // extern "C" (quadrotor3d fns)
+
 }  // extern "C"

@@ -103,13 +103,17 @@ class MPPIConfig:
             )
         # Dimension warnings in the reference (src/main.cu:530-612) are hard
         # errors here: silent dim mismatch is never what the user wants.
-        checks = (
+        checks = [
             ("noise", self.noise, self.action_dim),
             ("init-act", self.init_act, self.action_dim),
             ("max-a", self.max_a, self.action_dim),
             ("goal", self.goal, self.state_dim),
-            ("cost.w", self.cost_w, self.state_dim),
-        )
+        ]
+        if self.cost_type in ("quadratic", "obstacle"):
+            # only for costs where w IS the state diagonal; the other cost
+            # factories (ops/cost.py registry) validate their own w lengths
+            # (e.g. quadrotor3d takes 8 weights over a 13-dim state)
+            checks.append(("cost.w", self.cost_w, self.state_dim))
         for name, seq, want in checks:
             if len(seq) != want:
                 raise ConfigError(

@@ -16,6 +16,7 @@ from mppi_gpu_tpu.envs.point_mass_world import PointMassWorld
 from mppi_gpu_tpu.envs.cartpole_world import CartPoleParams, CartPoleWorld
 from mppi_gpu_tpu.envs.pendulum_world import PendulumParams, PendulumWorld
 from mppi_gpu_tpu.envs.quadrotor_world import QuadrotorParams, QuadrotorWorld
+from mppi_gpu_tpu.envs.quadrotor3d_world import Quadrotor3DParams, Quadrotor3DWorld
 from mppi_gpu_tpu.envs.native import NativePointMassWorld, native_available
 
 
@@ -27,8 +28,14 @@ def is_cartpole_env(env: str) -> bool:
     return "cartpole" in str(env)
 
 
+def is_quadrotor3d_env(env: str) -> bool:
+    return "quadrotor3d" in str(env)
+
+
 def is_quadrotor_env(env: str) -> bool:
-    return "quadrotor" in str(env)
+    # the PLANAR family; "quadrotor3d" is its own family (checked first
+    # everywhere, and excluded here so dispatch order can never matter)
+    return "quadrotor" in str(env) and not is_quadrotor3d_env(env)
 
 
 def params_for_config(cfg):
@@ -38,6 +45,10 @@ def params_for_config(cfg):
         return CartPoleParams(max_force=max(cfg.max_a))
     if is_pendulum_env(cfg.env):
         return PendulumParams(max_torque=max(cfg.max_a))
+    if is_quadrotor3d_env(cfg.env):
+        # max-a[0] bounds the collective F = Σ f_i over 4 rotors, so the
+        # per-rotor envelope is a quarter of it (envs/quadrotor3d_world.py)
+        return Quadrotor3DParams(max_thrust=cfg.max_a[0] / 4.0)
     if is_quadrotor_env(cfg.env):
         # max-a[0] bounds the collective F = f_l + f_r, so the per-rotor
         # envelope is half of it (mixer semantics, models/quadrotor.py)
@@ -51,6 +62,8 @@ def make_jax_world(cfg, params=None):
         return CartPoleWorld(params)
     if isinstance(params, PendulumParams):
         return PendulumWorld(params)
+    if isinstance(params, Quadrotor3DParams):
+        return Quadrotor3DWorld(params)
     if isinstance(params, QuadrotorParams):
         return QuadrotorWorld(params)
     return PointMassWorld(params)
@@ -64,9 +77,12 @@ __all__ = [
     "is_pendulum_env",
     "is_cartpole_env",
     "is_quadrotor_env",
+    "is_quadrotor3d_env",
     "PointMassWorld",
     "QuadrotorWorld",
     "QuadrotorParams",
+    "Quadrotor3DWorld",
+    "Quadrotor3DParams",
     "PendulumWorld",
     "PendulumParams",
     "CartPoleWorld",

@@ -241,6 +241,47 @@ def _quadrotor_mjcf(p) -> str:
 """
 
 
+def _quadrotor3d_mjcf(p) -> str:
+    """Full 3-D quadrotor matching Quadrotor3DWorld's rigid-body ODE
+    (envs/quadrotor3d_world.py): one free joint (so qpos = [p, quat] and
+    qvel = [v_world, ω_body] — exactly the analytic 13-state layout),
+    point-mass inertial (m, diag J), and four site-transmission rotors in
+    "+" configuration at ±arm on x̂/ŷ, each pushing along body +z with a
+    yaw drag torque ±κ per unit thrust via the gear's torque-z component
+    (CCW rotors 1/3 get +κ, CW rotors 2/4 get −κ). ctrlrange [0, f_max]
+    is the analytic world's per-rotor clamp."""
+    r, k = p.arm, p.kappa
+    jx, jy, jz = p.inertia
+    sites = "\n".join(
+        f'            <site name="rotor{i}" pos="{x} {y} 0" size="0.015"/>'
+        for i, (x, y) in enumerate([(r, 0), (0, r), (-r, 0), (0, -r)], start=1)
+    )
+    motors = "\n".join(
+        f'        <motor site="rotor{i}" gear="0 0 1 0 0 {s * k}" '
+        f'ctrllimited="true" ctrlrange="0 {p.max_thrust}"/>'
+        for i, s in [(1, 1), (2, -1), (3, 1), (4, -1)]
+    )
+    return f"""
+<mujoco model="tpu-mppi 3d quadrotor (generated)">
+    <compiler angle="radian"/>
+    <option gravity="0 0 -{p.gravity}" integrator="RK4" timestep="{p.timestep}"/>
+    <worldbody>
+        <body name="quad" pos="0 0 0">
+            <freejoint/>
+            <geom type="box" size="{r} {r} 0.008" mass="0"
+                  contype="0" conaffinity="0" rgba="0.12 0.22 0.55 1"/>
+            <inertial pos="0 0 0" mass="{p.mass}"
+                      diaginertia="{jx} {jy} {jz}"/>
+{sites}
+        </body>
+    </worldbody>
+    <actuator>
+{motors}
+    </actuator>
+</mujoco>
+"""
+
+
 class MujocoPendulumWorld(_MujocoWorldBase):
     """Real-MuJoCo pendulum plant (no reference analog — the reference is
     point-mass only; this extends its MuJoCo-as-ground-truth pattern to the
@@ -280,6 +321,48 @@ class MujocoCartPoleWorld(_MujocoWorldBase):
     def reset(self) -> None:
         self._mujoco.mj_resetData(self.m, self.d)
         self.d.qpos[1] = self.params.init_theta
+        self.d.time = self.params.timestep
+        self._mujoco.mj_forward(self.m, self.d)
+
+
+class MujocoQuadrotor3DWorld(_MujocoWorldBase):
+    """Real-MuJoCo 3-D quadrotor plant (no reference analog; extends the
+    MuJoCo-as-ground-truth pattern to the SE(3) family). The actuators are
+    the four rotors, so the [F, τx, τy, τz] mixer command is inverted to
+    per-rotor thrusts here (ctrlrange [0, f_max] applies the envelope
+    clamp, same as the analytic worlds). Reset matches
+    Quadrotor3DWorld.reset: at init_pos, level at rest, sim clock at one
+    physics step."""
+
+    def __init__(self, params) -> None:
+        import mujoco
+
+        self._mujoco = mujoco
+        self.params = params
+        self.m = mujoco.MjModel.from_xml_string(_quadrotor3d_mjcf(params))
+        self.d = mujoco.MjData(self.m)
+        self.reset()
+
+    def _mix(self, u: np.ndarray) -> np.ndarray:
+        from mppi_gpu_tpu.envs.quadrotor3d_world import mix_to_rotors
+
+        return np.asarray(
+            mix_to_rotors(
+                np.asarray(u, np.float32).reshape(4),
+                self.params.arm, self.params.kappa,
+            )
+        )
+
+    def simulate(self, u: np.ndarray) -> bool:
+        return super().simulate(self._mix(u))
+
+    def step(self, u: np.ndarray) -> None:
+        super().step(self._mix(u))
+
+    def reset(self) -> None:
+        self._mujoco.mj_resetData(self.m, self.d)
+        self.d.qpos[0:3] = self.params.init_pos
+        self.d.qpos[3] = 1.0  # identity quaternion (w, x, y, z)
         self.d.time = self.params.timestep
         self._mujoco.mj_forward(self.m, self.d)
 

@@ -108,6 +108,17 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.mppi_quadrotor_time.restype = ctypes.c_float
     lib.mppi_quadrotor_time.argtypes = [ctypes.c_void_p]
     lib.mppi_quadrotor_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
+    lib.mppi_quadrotor3d_create.restype = ctypes.c_void_p
+    lib.mppi_quadrotor3d_create.argtypes = [ctypes.c_float] * 14
+    lib.mppi_quadrotor3d_destroy.argtypes = [ctypes.c_void_p]
+    lib.mppi_quadrotor3d_reset.argtypes = [ctypes.c_void_p]
+    lib.mppi_quadrotor3d_simulate.restype = ctypes.c_int
+    lib.mppi_quadrotor3d_simulate.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_quadrotor3d_step.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_quadrotor3d_get_x.argtypes = [ctypes.c_void_p, f32p]
+    lib.mppi_quadrotor3d_time.restype = ctypes.c_float
+    lib.mppi_quadrotor3d_time.argtypes = [ctypes.c_void_p]
+    lib.mppi_quadrotor3d_set_state.argtypes = [ctypes.c_void_p, f32p, ctypes.c_float]
     lib.mppi_world_steps_per_control.restype = ctypes.c_int
     lib.mppi_world_steps_per_control.argtypes = [ctypes.c_void_p]
     lib.mppi_world_rollout.argtypes = [ctypes.c_void_p, f32p, ctypes.c_int, f32p]
@@ -437,6 +448,87 @@ class NativeQuadrotorWorld:
         if x.shape != (6,):
             raise ValueError("x must have shape (6,)")
         self._lib.mppi_quadrotor_set_state(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ctypes.c_float(time),
+        )
+
+
+class NativeQuadrotor3DWorld:
+    """Reference-env-shaped API over the native 3-D quadrotor simulator
+    (fifth model family; csrc/world.cpp quadrotor3d section)."""
+
+    def __init__(self, params) -> None:  # params: envs.quadrotor3d_world.Quadrotor3DParams
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(
+                "native world library unavailable; use envs.Quadrotor3DWorld instead"
+            )
+        self._lib = lib
+        self.params = params
+        self._handle = lib.mppi_quadrotor3d_create(
+            ctypes.c_float(params.mass),
+            ctypes.c_float(params.inertia[0]),
+            ctypes.c_float(params.inertia[1]),
+            ctypes.c_float(params.inertia[2]),
+            ctypes.c_float(params.arm),
+            ctypes.c_float(params.kappa),
+            ctypes.c_float(params.gravity),
+            ctypes.c_float(params.max_thrust),
+            ctypes.c_float(params.timestep),
+            ctypes.c_float(params.control_period),
+            ctypes.c_float(params.sim_end),
+            ctypes.c_float(params.init_pos[0]),
+            ctypes.c_float(params.init_pos[1]),
+            ctypes.c_float(params.init_pos[2]),
+        )
+        if not self._handle:
+            raise RuntimeError("mppi_quadrotor3d_create failed")
+
+    def __del__(self) -> None:  # pragma: no cover
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.mppi_quadrotor3d_destroy(handle)
+            self._handle = None
+
+    def _uptr(self, u: np.ndarray) -> np.ndarray:
+        u = np.ascontiguousarray(u, dtype=np.float32)
+        if u.shape != (4,):
+            raise ValueError(f"u must have shape (4,), got {u.shape}")
+        return u
+
+    def reset(self) -> None:
+        self._lib.mppi_quadrotor3d_reset(self._handle)
+
+    def simulate(self, u: np.ndarray) -> bool:
+        u = self._uptr(u)
+        return bool(
+            self._lib.mppi_quadrotor3d_simulate(
+                self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            )
+        )
+
+    def step(self, u: np.ndarray) -> None:
+        u = self._uptr(u)
+        self._lib.mppi_quadrotor3d_step(
+            self._handle, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+
+    def get_x(self) -> np.ndarray:
+        x = np.empty((13,), np.float32)
+        self._lib.mppi_quadrotor3d_get_x(
+            self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return x
+
+    @property
+    def time(self) -> float:
+        return float(self._lib.mppi_quadrotor3d_time(self._handle))
+
+    def set_state(self, x: np.ndarray, time: float) -> None:
+        x = np.ascontiguousarray(x, dtype=np.float32)
+        if x.shape != (13,):
+            raise ValueError("x must have shape (13,)")
+        self._lib.mppi_quadrotor3d_set_state(
             self._handle, x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             ctypes.c_float(time),
         )

@@ -32,10 +32,12 @@ class MismatchResult:
     traj_model: np.ndarray  # (n+1, s) analytic LTI open-loop
     traj_world: np.ndarray  # (n+1, s) ground-truth world open-loop
     us: np.ndarray          # (n, a)
+    pos_dims: int = 0       # leading position dims; 0 = action_dim (the
+                            # [q, qd] families); quadrotor3d sets 3
 
     @property
     def position_rmse(self) -> float:
-        a = self.us.shape[1]
+        a = self.pos_dims or self.us.shape[1]
         d = self.traj_model[:, :a] - self.traj_world[:, :a]
         return float(np.sqrt((d**2).mean()))
 
@@ -146,16 +148,23 @@ def run_mismatch_config(
     x0 = jnp.asarray(ws0.x)
 
     if world_backend in ("native", "mujoco"):
-        from mppi_gpu_tpu.envs import is_cartpole_env, is_quadrotor_env
+        from mppi_gpu_tpu.envs import (
+            is_cartpole_env,
+            is_quadrotor3d_env,
+            is_quadrotor_env,
+        )
 
         if world_backend == "native":
             from mppi_gpu_tpu.envs.native import (
                 NativeCartPoleWorld,
                 NativePendulumWorld,
+                NativeQuadrotor3DWorld,
                 NativeQuadrotorWorld,
             )
 
-            if is_quadrotor_env(cfg.env):
+            if is_quadrotor3d_env(cfg.env):
+                cls = NativeQuadrotor3DWorld
+            elif is_quadrotor_env(cfg.env):
                 cls = NativeQuadrotorWorld
             else:
                 cls = NativeCartPoleWorld if is_cartpole_env(cfg.env) else NativePendulumWorld
@@ -163,10 +172,13 @@ def run_mismatch_config(
             from mppi_gpu_tpu.envs.mujoco_world import (
                 MujocoCartPoleWorld,
                 MujocoPendulumWorld,
+                MujocoQuadrotor3DWorld,
                 MujocoQuadrotorWorld,
             )
 
-            if is_quadrotor_env(cfg.env):
+            if is_quadrotor3d_env(cfg.env):
+                cls = MujocoQuadrotor3DWorld
+            elif is_quadrotor_env(cfg.env):
                 cls = MujocoQuadrotorWorld
             else:
                 cls = MujocoCartPoleWorld if is_cartpole_env(cfg.env) else MujocoPendulumWorld
@@ -210,17 +222,26 @@ def run_mismatch_config(
     xm, xw = rollouts(jnp.asarray(us), with_world=xw_full is None)
     if xw_full is not None:
         xw = xw_full
+    from mppi_gpu_tpu.envs import is_quadrotor3d_env
+
     return MismatchResult(
-        traj_model=np.asarray(xm), traj_world=np.asarray(xw), us=us
+        traj_model=np.asarray(xm), traj_world=np.asarray(xw), us=us,
+        pos_dims=3 if is_quadrotor3d_env(cfg.env) else 0,
     )
 
 
 def save_mismatch_csv(path: str, res: MismatchResult) -> None:
     """Side-by-side CSV like the reference's missmatch.csv
-    (model_missmatch.cpp:102-121; `_s` = simulated model, `_w` = world)."""
+    (model_missmatch.cpp:102-121; `_s` = simulated model, `_w` = world).
+    The [q, qd] families get q{i}/qd{i} columns; odd state layouts (the
+    13-dim quaternion quadrotor) get generic x{i} columns, which
+    scripts/plot_miss.py also understands."""
     s = res.traj_model.shape[1]
-    a = s // 2
-    names = [f"q{i}" for i in range(a)] + [f"qd{i}" for i in range(a)]
+    if s % 2 == 0:
+        a = s // 2
+        names = [f"q{i}" for i in range(a)] + [f"qd{i}" for i in range(a)]
+    else:
+        names = [f"x{i}" for i in range(s)]
     with open(path, "w", newline="") as f:
         wr = csv.writer(f)
         wr.writerow([f"{n}_s" for n in names] + [f"{n}_w" for n in names])

@@ -10,6 +10,7 @@ from mppi_gpu_tpu.models.point_mass import PointMassLTI
 from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
 from mppi_gpu_tpu.models.pendulum import PendulumDynamics
 from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
+from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
 from mppi_gpu_tpu.models.neural import MLPDynamics, init_mlp_dynamics
 
 
@@ -20,6 +21,8 @@ def dynamics_for_config(cfg) -> Dynamics:
         return CartPoleDynamics.create(cfg.dt)
     if "pendulum" in str(cfg.env):
         return PendulumDynamics.create(cfg.dt)
+    if "quadrotor3d" in str(cfg.env):
+        return Quadrotor3DDynamics.create(cfg.dt)
     if "quadrotor" in str(cfg.env):
         return QuadrotorDynamics.create(cfg.dt)
     return PointMassLTI.create(cfg.dt, cfg.action_dim)
@@ -27,6 +30,6 @@ def dynamics_for_config(cfg) -> Dynamics:
 
 __all__ = [
     "Dynamics", "PointMassLTI", "PendulumDynamics", "CartPoleDynamics",
-    "QuadrotorDynamics", "MLPDynamics",
+    "QuadrotorDynamics", "Quadrotor3DDynamics", "MLPDynamics",
     "init_mlp_dynamics", "dynamics_for_config",
 ]

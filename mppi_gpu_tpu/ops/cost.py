@@ -173,6 +173,39 @@ class QuadrotorHoverCost:
         return self._state(x)
 
 
+@register_dataclass
+@dataclass(frozen=True)
+class Quadrotor3DHoverCost:
+    """Hover/waypoint cost for the 3-D quadrotor family. ``w = [w_px, w_py,
+    w_pz, w_tilt, w_vx, w_vy, w_vz, w_om]``: per-axis quadratic position
+    error toward ``goal[0:3]``, tilt as ``2(qx² + qy²)`` = 1 − (R(q)ẑ)·ẑ
+    (wrap-safe, polynomial in the unit quaternion — zero iff the body z
+    axis points straight up, yaw-invariant), per-axis velocity toward
+    ``goal[7:10]``, and |ω|²; plus the standard MPPI control term."""
+
+    w: jax.Array        # (8,)
+    goal: jax.Array     # (13,) — [0:3] position, [7:10] velocity; rest unused
+    lambda_: jax.Array
+    inv_s: jax.Array    # (4,)
+
+    def _state(self, x: jax.Array) -> jax.Array:
+        dp = x[..., 0:3] - self.goal[0:3]
+        dv = x[..., 7:10] - self.goal[7:10]
+        tilt = 2.0 * (x[..., 4] ** 2 + x[..., 5] ** 2)
+        return (
+            jnp.sum(dp * self.w[0:3] * dp, axis=-1)
+            + self.w[3] * tilt
+            + jnp.sum(dv * self.w[4:7] * dv, axis=-1)
+            + self.w[7] * jnp.sum(x[..., 10:13] ** 2, axis=-1)
+        )
+
+    def step(self, x_next: jax.Array, u: jax.Array, eps: jax.Array) -> jax.Array:
+        return self.lambda_ * jnp.sum(u * self.inv_s * eps, axis=-1) + self._state(x_next)
+
+    def final(self, x: jax.Array) -> jax.Array:
+        return self._state(x)
+
+
 CostFactory = Callable[[MPPIConfig], Cost]
 COST_REGISTRY: dict[str, CostFactory] = {}
 
@@ -268,6 +301,25 @@ def _make_quadrotor(cfg: MPPIConfig) -> QuadrotorHoverCost:
     else:
         inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
     return QuadrotorHoverCost(
+        w=jnp.asarray(cfg.cost_w, jnp.float32),
+        goal=jnp.asarray(cfg.goal, jnp.float32),
+        lambda_=jnp.float32(cfg.lambda_),
+        inv_s=inv_s,
+    )
+
+
+@register_cost("quadrotor3d")
+def _make_quadrotor3d(cfg: MPPIConfig) -> Quadrotor3DHoverCost:
+    if len(cfg.cost_w) != 8:
+        raise ValueError(
+            "quadrotor3d cost needs cost.w = [w_px, w_py, w_pz, w_tilt, "
+            f"w_vx, w_vy, w_vz, w_om], got {cfg.cost_w}"
+        )
+    if cfg.inv_sigma == "from-noise":
+        inv_s = 1.0 / (jnp.asarray(cfg.noise, jnp.float32) ** 2)
+    else:
+        inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
+    return Quadrotor3DHoverCost(
         w=jnp.asarray(cfg.cost_w, jnp.float32),
         goal=jnp.asarray(cfg.goal, jnp.float32),
         lambda_=jnp.float32(cfg.lambda_),

@@ -729,11 +729,150 @@ class _QuadrotorFamily:
         return carry0, step, final
 
 
+class _Quadrotor3DFamily:
+    """Full 3-D quadrotor, quaternion SE(3) rigid body in mixer action
+    space (models/quadrotor3d.py + ops/cost.py Quadrotor3DHoverCost):
+    RK2-midpoint of the 13-state ODE with the yaw-invariant hover cost.
+    A=4 COUPLED action dims → G=2 rollout groups per tile; each of the
+    group's four action rows (F, τx, τy, τz) is duplicated onto all four
+    of its group's rows (the same static concat-of-slices pattern as the
+    planar family's pair_dup), the 13 state components live on 13 full
+    (SUB, KB) register tiles, and a row%4==0 mask makes the per-group
+    sublane reduction count each group's cost exactly once. The step is
+    polynomial + one rsqrt (quaternion renorm) — NO transcendentals, so
+    despite 13 state tiles this family is cheap on the VPU."""
+
+    name = "quadrotor3d"
+    NP = 37
+    _W0 = 2                      # ..9: w_px..w_om (8)
+    _GP = 10                     # ..12: goal px, py, pz
+    _GV = 13                     # ..15: goal vx, vy, vz
+    _X0 = 16                     # ..28: x0 (13)
+    _IM, _GRAV = 29, 30
+    _IJ = 31                     # ..33: 1/Jx, 1/Jy, 1/Jz
+    _CJ = 34                     # ..36: Jz−Jy, Jx−Jz, Jy−Jx
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
+        from mppi_gpu_tpu.ops.cost import Quadrotor3DHoverCost
+
+        return isinstance(dyn, Quadrotor3DDynamics) and type(cost) is Quadrotor3DHoverCost
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        x0 = jnp.broadcast_to(x0, (13,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        g = cost.goal.astype(jnp.float32)
+        jx, jy, jz = dyn.inertia[0], dyn.inertia[1], dyn.inertia[2]
+        cols = [tileA(sigma), tileA(cost.inv_s)]
+        cols += [tileA(w[i]) for i in range(8)]
+        cols += [tileA(g[i]) for i in range(3)]       # goal position
+        cols += [tileA(g[7 + i]) for i in range(3)]   # goal velocity
+        cols += [tileA(x0[i]) for i in range(13)]
+        cols += [tileA(1.0 / dyn.mass), tileA(dyn.gravity)]
+        cols += [tileA(1.0 / jx), tileA(1.0 / jy), tileA(1.0 / jz)]
+        cols += [tileA(jz - jy), tileA(jx - jz), tileA(jy - jx)]
+        return jnp.stack(cols, axis=1)  # (SUB, NP)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        dt = scal_ref[0, 0]
+        col = lambda i: p_ref[:, i:i + 1]  # (SUB, 1): lane-only broadcasts  # noqa: E731
+        w = [col(cls._W0 + i) for i in range(8)]
+        gp = [col(cls._GP + i) for i in range(3)]
+        gv = [col(cls._GV + i) for i in range(3)]
+        im, grav = col(cls._IM), col(cls._GRAV)
+        ij = [col(cls._IJ + i) for i in range(3)]
+        cj = [col(cls._CJ + i) for i in range(3)]
+        # first-row-of-group mask: group g's cost rides row g·4 only
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        first = (row % 4 == 0).astype(jnp.float32)
+
+        def quad_dup(u_eff, off):
+            """(SUB, KB): all four rows of group g carry its action row
+            `off` (0=F, 1=τx, 2=τy, 3=τz)."""
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 4 + off:g * 4 + off + 1]
+                rows.extend([r, r, r, r])
+            return jnp.concatenate(rows, axis=0)
+
+        def derivs(q, v, om, F, TX, TY, TZ):
+            # mirrors Quadrotor3DDynamics.derivs exactly (im/ij/cj packed
+            # as reciprocals/differences so there are no divides)
+            qw, qx, qy, qz = q
+            wx, wy, wz = om
+            fm = F * im
+            acc = (
+                2.0 * (qx * qz + qw * qy) * fm,
+                2.0 * (qy * qz - qw * qx) * fm,
+                (1.0 - 2.0 * (qx * qx + qy * qy)) * fm - grav,
+            )
+            qdot = (
+                -0.5 * (qx * wx + qy * wy + qz * wz),
+                0.5 * (qw * wx + qy * wz - qz * wy),
+                0.5 * (qw * wy + qz * wx - qx * wz),
+                0.5 * (qw * wz + qx * wy - qy * wx),
+            )
+            omdot = (
+                (TX - cj[0] * wy * wz) * ij[0],
+                (TY - cj[1] * wz * wx) * ij[1],
+                (TZ - cj[2] * wx * wy) * ij[2],
+            )
+            return qdot, acc, omdot
+
+        def state_cost(s):
+            p, q, v, om = s[0:3], s[3:7], s[7:10], s[10:13]
+            dp = [p[i] - gp[i] for i in range(3)]
+            dv = [v[i] - gv[i] for i in range(3)]
+            c = w[0] * dp[0] * dp[0] + w[1] * dp[1] * dp[1] + w[2] * dp[2] * dp[2]
+            c = c + w[3] * (2.0 * (q[1] * q[1] + q[2] * q[2]))
+            c = c + w[4] * dv[0] * dv[0] + w[5] * dv[1] * dv[1] + w[6] * dv[2] * dv[2]
+            c = c + w[7] * (om[0] * om[0] + om[1] * om[1] + om[2] * om[2])
+            return first * c
+
+        def carry0():
+            return tuple(
+                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(13)
+            )
+
+        def step(state, u_eff):
+            p, q = state[0:3], state[3:7]
+            v, om = state[7:10], state[10:13]
+            F = quad_dup(u_eff, 0)
+            TX, TY, TZ = quad_dup(u_eff, 1), quad_dup(u_eff, 2), quad_dup(u_eff, 3)
+            # RK2 midpoint — mirrors Quadrotor3DDynamics.step exactly
+            qd1, a1, wd1 = derivs(q, v, om, F, TX, TY, TZ)
+            q_m = tuple(q[i] + 0.5 * dt * qd1[i] for i in range(4))
+            v_m = tuple(v[i] + 0.5 * dt * a1[i] for i in range(3))
+            om_m = tuple(om[i] + 0.5 * dt * wd1[i] for i in range(3))
+            qd2, a2, wd2 = derivs(q_m, v_m, om_m, F, TX, TY, TZ)
+            q_n = tuple(q[i] + dt * qd2[i] for i in range(4))
+            inv = jax.lax.rsqrt(
+                q_n[0] * q_n[0] + q_n[1] * q_n[1]
+                + q_n[2] * q_n[2] + q_n[3] * q_n[3]
+            )
+            state = (
+                p[0] + dt * v_m[0], p[1] + dt * v_m[1], p[2] + dt * v_m[2],
+                q_n[0] * inv, q_n[1] * inv, q_n[2] * inv, q_n[3] * inv,
+                v[0] + dt * a2[0], v[1] + dt * a2[1], v[2] + dt * a2[2],
+                om[0] + dt * wd2[0], om[1] + dt * wd2[1], om[2] + dt * wd2[2],
+            )
+            return state, state_cost(state)
+
+        def final(state):
+            return state_cost(state)
+
+        return carry0, step, final
+
+
 FAMILIES = {
     f.name: f
     for f in (
         _LTIQuadFamily, _PendulumFamily, _CartPoleFamily, _LTIObstacleFamily,
-        _QuadrotorFamily,
+        _QuadrotorFamily, _Quadrotor3DFamily,
     )
 }
 

@@ -28,6 +28,7 @@ from mppi_gpu_tpu.controller import MPPIController
 from mppi_gpu_tpu.envs import (
     is_cartpole_env,
     is_quadrotor_env,
+    is_quadrotor3d_env,
     is_pendulum_env,
     make_jax_world,
     params_for_config,
@@ -52,6 +53,10 @@ class EpisodeResult:
 
 def _make_world(cfg, params, backend: str) -> Any:
     if backend == "native":
+        if is_quadrotor3d_env(cfg.env):
+            from mppi_gpu_tpu.envs.native import NativeQuadrotor3DWorld
+
+            return NativeQuadrotor3DWorld(params)
         if is_quadrotor_env(cfg.env):
             from mppi_gpu_tpu.envs.native import NativeQuadrotorWorld
 
@@ -73,6 +78,10 @@ def _make_world(cfg, params, backend: str) -> Any:
         # the real MuJoCo engine as the plant (optional dependency) — the
         # reference's actual ground truth for the point-mass family
         # (PointMassEnv.cpp:53-61), extended to every env family here
+        if is_quadrotor3d_env(cfg.env):
+            from mppi_gpu_tpu.envs.mujoco_world import MujocoQuadrotor3DWorld
+
+            return MujocoQuadrotor3DWorld(params)
         if is_quadrotor_env(cfg.env):
             from mppi_gpu_tpu.envs.mujoco_world import MujocoQuadrotorWorld
 

@@ -216,6 +216,48 @@ class _QuadrotorScene:
         return [self.trail, self.body, self.rotors]
 
 
+class _Quadrotor3DScene:
+    """Full 3-D quadrotor: crossed body arms oriented by the quaternion,
+    trail, goal star; state x = (p(3), quat(4), v(3), ω(3))."""
+
+    def __init__(self, ax, xs, us, goal=None, arm=0.17):
+        self.p = xs[:, 0:3]
+        self.q = xs[:, 3:7]
+        self.arm = arm
+        g = None if goal is None else np.asarray(goal[:3], float)
+        for axis, set_lim in zip(range(3), (ax.set_xlim, ax.set_ylim, ax.set_zlim)):
+            vals = [self.p[:, axis].min(), self.p[:, axis].max()]
+            if g is not None:
+                vals.append(g[axis])
+            set_lim(*_pad_limits(min(vals) - arm, max(vals) + arm))
+        ax.set(xlabel="x", ylabel="y", zlabel="z")
+        if g is not None:
+            ax.plot([g[0]], [g[1]], [g[2]], linestyle="", marker="*",
+                    color="goldenrod", markersize=16, zorder=3)
+        (self.trail,) = ax.plot([], [], [], lw=1.0, color="steelblue",
+                                alpha=0.7, zorder=2)
+        (self.arm_x,) = ax.plot([], [], [], lw=3.5, color="navy",
+                                solid_capstyle="round", zorder=4)
+        (self.arm_y,) = ax.plot([], [], [], lw=3.5, color="royalblue",
+                                solid_capstyle="round", zorder=4)
+
+    def update(self, i):
+        p = self.p[i]
+        qw, qx, qy, qz = self.q[i]
+        # body x̂ and ŷ in world coords (columns of R(q))
+        bx = np.array([1 - 2 * (qy * qy + qz * qz),
+                       2 * (qx * qy + qw * qz),
+                       2 * (qx * qz - qw * qy)]) * self.arm
+        by = np.array([2 * (qx * qy - qw * qz),
+                       1 - 2 * (qx * qx + qz * qz),
+                       2 * (qy * qz + qw * qx)]) * self.arm
+        self.arm_x.set_data_3d(*[[p[d] - bx[d], p[d] + bx[d]] for d in range(3)])
+        self.arm_y.set_data_3d(*[[p[d] - by[d], p[d] + by[d]] for d in range(3)])
+        self.trail.set_data_3d(self.p[: i + 1, 0], self.p[: i + 1, 1],
+                               self.p[: i + 1, 2])
+        return [self.trail, self.arm_x, self.arm_y]
+
+
 def make_animation(t, xs, us, cfg=None, env: str | None = None,
                    stride: int = 1, fps: int = 30):
     """Build (fig, FuncAnimation) for the episode. `cfg` (MPPIConfig) supplies
@@ -224,7 +266,7 @@ def make_animation(t, xs, us, cfg=None, env: str | None = None,
     goal = None if cfg is None else np.asarray(cfg.goal, float)
     obstacles = () if cfg is None else cfg.obstacles
 
-    is3d = env.startswith("point_mass3")
+    is3d = env.startswith("point_mass3") or env.startswith("quadrotor3d")
     fig = plt.figure(figsize=(6.4, 6.4))
     ax = fig.add_subplot(111, projection="3d" if is3d else None)
 
@@ -232,6 +274,8 @@ def make_animation(t, xs, us, cfg=None, env: str | None = None,
         scene = _PendulumScene(ax, xs, us)
     elif env.startswith("cartpole"):
         scene = _CartPoleScene(ax, xs, us)
+    elif env.startswith("quadrotor3d"):
+        scene = _Quadrotor3DScene(ax, xs, us, goal)
     elif env.startswith("quadrotor"):
         scene = _QuadrotorScene(ax, xs, us, goal)
     else:
@@ -261,6 +305,7 @@ def _mujoco_render_model(env: str, cfg):
     from mppi_gpu_tpu.envs import (
         is_cartpole_env,
         is_pendulum_env,
+        is_quadrotor3d_env,
         is_quadrotor_env,
         params_for_config,
     )
@@ -268,6 +313,7 @@ def _mujoco_render_model(env: str, cfg):
         _cartpole_mjcf,
         _pendulum_mjcf,
         _point_mass_mjcf,
+        _quadrotor3d_mjcf,
         _quadrotor_mjcf,
     )
 
@@ -286,6 +332,16 @@ def _mujoco_render_model(env: str, cfg):
             f'<site name="target" pos="0 0 {params.length}" size="0.05" '
             'rgba="1 0.8 0.1 0.6"/>'
         )
+    elif is_quadrotor3d_env(env):
+        xml = _quadrotor3d_mjcf(params)
+        cam.lookat[:] = (0.0, 0.25, 0.75)
+        cam.distance, cam.elevation, cam.azimuth = 4.5, -15.0, 120.0
+        if cfg is not None and cfg.goal is not None:
+            g = np.asarray(cfg.goal, float)
+            extras.append(
+                f'<site name="target" pos="{g[0]} {g[1]} {g[2]}" size="0.06" '
+                'rgba="1 0.8 0.1 0.7"/>'
+            )
     elif is_quadrotor_env(env):
         xml = _quadrotor_mjcf(params)
         cam.lookat[:] = (0.0, 0.0, 0.3)

@@ -30,17 +30,29 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     cols = read_csv_columns(args.csv)
-    axes_n = sum(1 for k in cols if k.startswith("q") and not k.startswith("qd"))
-    a = axes_n // 2  # *_s and *_w variants
+    if "q0_s" in cols:
+        pos_keys = sorted(
+            (k[:-2] for k in cols if k.startswith("q") and not k.startswith("qd") and k.endswith("_s")),
+            key=lambda k: int(k[1:]),
+        )
+        vel_keys = [f"qd{k[1:]}" for k in pos_keys]
+    else:
+        # generic x{i} layout (odd state dims — the quaternion quadrotor):
+        # first 3 columns are position, last 3 are body rates
+        xs = sorted(
+            (k[:-2] for k in cols if k.startswith("x") and k.endswith("_s")),
+            key=lambda k: int(k[1:]),
+        )
+        pos_keys, vel_keys = xs[:3], xs[-3:]
 
     fig, (ax_q, ax_qd, ax_e) = plt.subplots(3, 1, figsize=(9, 9), sharex=True)
-    for i in range(a):
-        ax_q.plot(cols[f"q{i}_s"], ls="--", color=f"C{i}", label=f"q{i} model")
-        ax_q.plot(cols[f"q{i}_w"], color=f"C{i}", label=f"q{i} world")
-        ax_qd.plot(cols[f"qd{i}_s"], ls="--", color=f"C{i}", label=f"qd{i} model")
-        ax_qd.plot(cols[f"qd{i}_w"], color=f"C{i}", label=f"qd{i} world")
+    for i, (pk, vk) in enumerate(zip(pos_keys, vel_keys)):
+        ax_q.plot(cols[f"{pk}_s"], ls="--", color=f"C{i}", label=f"{pk} model")
+        ax_q.plot(cols[f"{pk}_w"], color=f"C{i}", label=f"{pk} world")
+        ax_qd.plot(cols[f"{vk}_s"], ls="--", color=f"C{i}", label=f"{vk} model")
+        ax_qd.plot(cols[f"{vk}_w"], color=f"C{i}", label=f"{vk} world")
         ax_e.plot(
-            np.abs(cols[f"q{i}_s"] - cols[f"q{i}_w"]), color=f"C{i}", label=f"|Δq{i}|"
+            np.abs(cols[f"{pk}_s"] - cols[f"{pk}_w"]), color=f"C{i}", label=f"|Δ{pk}|"
         )
     ax_q.set_ylabel("position")
     ax_qd.set_ylabel("velocity")

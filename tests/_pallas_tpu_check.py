@@ -328,6 +328,63 @@ assert ctrl_q.rollout_backend == "pallas", ctrl_q.rollout_backend
 res_q = ctrl_q.solve(x0_q, ctrl_q.init_action_seq(), ctrl_q.init_key())
 assert jnp.all(jnp.isfinite(jax.block_until_ready(res_q.action)))
 
+# --- 3-D quadrotor fused family on hardware: A=4 (G=2), 13-tile quaternion
+# state with an rsqrt renorm per step; one-hot kernel A/B cross-check via
+# the scan oracle + 'auto' resolution
+from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
+from mppi_gpu_tpu.ops.cost import Quadrotor3DHoverCost
+
+dyn_q3 = Quadrotor3DDynamics.create(1 / 60)
+cost_q3 = Quadrotor3DHoverCost(
+    w=jnp.array([4.0, 4.0, 4.0, 10.0, 3.0, 3.0, 3.0, 0.5]),
+    goal=jnp.zeros(13).at[0].set(1.0).at[1].set(0.5).at[2].set(1.0),
+    lambda_=jnp.float32(0.3),
+    inv_s=jnp.array([1.0, 1.0 / 0.04**2, 1.0 / 0.04**2, 1.0 / 0.008**2]),
+)
+x0_q3 = jnp.concatenate(
+    [jnp.array([-1.0, 0.0, 0.5]), jnp.array([0.99, 0.08, -0.05, 0.08]),
+     jnp.array([0.2, -0.1, 0.1]), jnp.array([0.3, -0.2, 0.1])]
+)
+x0_q3 = x0_q3.at[3:7].set(x0_q3[3:7] / jnp.linalg.norm(x0_q3[3:7]))
+T_q3 = 16
+t_ = jnp.arange(T_q3, dtype=jnp.float32)
+U_q3 = jnp.stack(
+    [7.848 + 0.4 * jnp.sin(0.3 * t_), 0.02 * jnp.cos(0.4 * t_),
+     0.02 * jnp.sin(0.5 * t_), 0.004 * jnp.cos(0.7 * t_)],
+    axis=1,
+)
+sig_q3 = jnp.array([1.2, 0.04, 0.04, 0.008])
+K_q3 = 800
+assert pr.family_for(dyn_q3, cost_q3) == "quadrotor3d"
+S_q3 = pr.pallas_rollout_costs(dyn_q3, cost_q3, x0_q3, U_q3, key, sig_q3, K=K_q3)
+plan_q3 = pr.make_plan(K_q3, T_q3, 4, family="quadrotor3d")
+assert plan_q3.G == 2
+for k in (0, 5, K_q3 - 1):
+    w_q3 = jnp.zeros((plan_q3.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = pr.pallas_weighted_update(
+        dyn_q3, cost_q3, x0_q3, U_q3, key, sig_q3, w_q3, K=K_q3
+    )
+    S_ref = float(rollout_costs(dyn_q3, cost_q3, x0_q3, U_q3, eps_k[:, None, :])[0])
+    rel = abs(float(S_q3[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 2e-4, f"quadrotor3d k={k}: kernel {float(S_q3[k])} scan {S_ref} rel={rel}"
+
+Sf_q3, dUf_q3 = pr.pallas_fused_solve_core(
+    dyn_q3, cost_q3, x0_q3, U_q3, key, sig_q3, jnp.float32(0.3), K=K_q3
+)
+assert jnp.allclose(Sf_q3, S_q3, rtol=1e-6), "quadrotor3d fused S mismatch"
+
+cfg_q3 = MPPIConfig(
+    env="quadrotor3d", samples=K_q3, state_dim=13, action_dim=4, horizon=T_q3,
+    dt=1 / 60, lambda_=0.3, noise=(1.2, 0.04, 0.04, 0.008),
+    init_act=(7.848, 0.0, 0.0, 0.0), max_a=(32.0, 0.4, 0.4, 0.04),
+    goal=(1.0, 0.5, 1.0, 1.0) + (0.0,) * 9,
+    cost_type="quadrotor3d", cost_w=(4.0, 4.0, 4.0, 10.0, 3.0, 3.0, 3.0, 0.5),
+)
+ctrl_q3 = MPPIController(cfg_q3, rollout_backend="auto")
+assert ctrl_q3.rollout_backend == "pallas", ctrl_q3.rollout_backend
+res_q3 = ctrl_q3.solve(x0_q3, ctrl_q3.init_action_seq(), ctrl_q3.init_key())
+assert jnp.all(jnp.isfinite(jax.block_until_ready(res_q3.action)))
+
 # --- obstacle fused family on hardware: penalty must fire and match scan
 from mppi_gpu_tpu.ops.cost import ObstacleCost
 

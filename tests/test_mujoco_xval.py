@@ -226,7 +226,43 @@ def test_quadrotor_world_vs_real_mujoco():
     assert np.all(gap < np.array([1e-3, 1e-3, 1e-3, 1e-2, 1e-2, 1e-2]))
 
 
-@pytest.mark.parametrize("env", ["pendulum", "cartpole", "quadrotor"])
+def test_quadrotor3d_world_vs_real_mujoco():
+    """The generated 3-D quadrotor MJCF (freejoint + four site-transmission
+    rotors with ±κ yaw-drag gear) is the same plant as Quadrotor3DWorld's
+    quaternion ODE: real mj_step tracks the analytic RK4 world to f32
+    rounding — including MuJoCo's freejoint conventions (world-frame
+    velocity, BODY-frame angular velocity) matching the analytic state
+    layout verbatim."""
+    from mppi_gpu_tpu.envs.mujoco_world import MujocoQuadrotor3DWorld
+    from mppi_gpu_tpu.envs.quadrotor3d_world import Quadrotor3DParams, Quadrotor3DWorld
+
+    p = Quadrotor3DParams()
+    hover = p.mass * p.gravity
+    rng = np.random.default_rng(5)
+    t = np.arange(60)
+    us = np.stack(
+        [
+            hover + 1.0 * np.sin(0.4 * t) + 0.3 * rng.standard_normal(60),
+            0.03 * np.sin(0.7 * t) + 0.01 * rng.standard_normal(60),
+            0.03 * np.cos(0.6 * t) + 0.01 * rng.standard_normal(60),
+            0.006 * np.sin(0.5 * t),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    jx = _analytic_cycles(Quadrotor3DWorld(p), us)
+    mj = MujocoQuadrotor3DWorld(p)
+    gaps = []
+    for i, u in enumerate(us):
+        mj.simulate(u)
+        gaps.append(np.abs(jx[i] - mj.get_x()))
+    gap = np.asarray(gaps).max(axis=0)
+    print(f"quadrotor3d gap vs real MuJoCo [p, quat, v, om]: {gap}")
+    assert np.all(gap[0:3] < 1e-3), gap    # position
+    assert np.all(gap[3:7] < 1e-3), gap    # quaternion
+    assert np.all(gap[7:13] < 1e-2), gap   # velocities
+
+
+@pytest.mark.parametrize("env", ["pendulum", "cartpole", "quadrotor", "quadrotor3d"])
 def test_family_mujoco_closed_loop(env):
     """`--world mujoco` now covers every env family: a short closed-loop
     episode on the real-MuJoCo plant must track the JAX-world episode."""
@@ -238,14 +274,14 @@ def test_family_mujoco_closed_loop(env):
     res_jx = run_closed_loop(MPPIController(cfg), world_backend="jax", max_steps=20)
     # the ~1e-6 per-cycle plant gap compounds through the feedback loop
     # (nonlinear plants); over 20 cycles this still pins the same physics.
-    # The attitude-unstable quadrotor amplifies fastest, hence its wider
+    # The attitude-unstable quadrotors amplify fastest, hence their wider
     # tolerance.
     np.testing.assert_allclose(
-        res_mj.xs, res_jx.xs, atol=3e-2 if env == "quadrotor" else 1e-2
+        res_mj.xs, res_jx.xs, atol=3e-2 if env.startswith("quadrotor") else 1e-2
     )
 
 
-@pytest.mark.parametrize("env", ["pendulum", "cartpole", "quadrotor"])
+@pytest.mark.parametrize("env", ["pendulum", "cartpole", "quadrotor", "quadrotor3d"])
 def test_family_mismatch_three_backends_agree(env):
     """`miss` for the dynamic families across all three world backends: the
     same open-loop input through the jax, native-C++, and real-MuJoCo plants

@@ -441,6 +441,100 @@ def test_interpret_testmode_quadrotor_fused_solve():
     np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
 
 
+def _setup_quadrotor3d(T=10, K=300):
+    from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
+    from mppi_gpu_tpu.ops.cost import Quadrotor3DHoverCost
+
+    dyn = Quadrotor3DDynamics.create(
+        0.02, mass=0.75, inertia=(0.004, 0.005, 0.008), gravity=9.81
+    )
+    goal = jnp.zeros(13).at[0].set(0.8).at[1].set(-0.3).at[2].set(0.5)
+    cost = Quadrotor3DHoverCost(
+        w=jnp.asarray([3.0, 3.0, 5.0, 8.0, 0.4, 0.4, 0.6, 0.2]),
+        goal=goal,
+        lambda_=jnp.float32(0.3), inv_s=jnp.asarray([1.0, 4.0, 4.0, 9.0]),
+    )
+    # tilted, yawed, drifting, rotating initial state (unit quaternion)
+    q0 = jnp.asarray([0.97, 0.12, -0.08, 0.18])
+    q0 = q0 / jnp.linalg.norm(q0)
+    x0 = jnp.concatenate(
+        [jnp.asarray([-0.5, 0.2, 0.1]), q0,
+         jnp.asarray([0.2, -0.1, 0.3]), jnp.asarray([0.4, -0.2, 0.1])]
+    )
+    hover = 0.75 * 9.81
+    t = jnp.arange(T, dtype=jnp.float32)
+    U = jnp.stack(
+        [
+            hover + 0.5 * jnp.sin(0.3 * t),
+            0.05 * jnp.cos(0.4 * t),
+            0.05 * jnp.sin(0.5 * t),
+            0.01 * jnp.cos(0.7 * t),
+        ],
+        axis=1,
+    )
+    sigma = jnp.asarray([1.0, 0.05, 0.05, 0.01])
+    return dyn, cost, x0, U, sigma
+
+
+@pytest.mark.parametrize("ou,anti", [(0.0, False), (0.5, False), (0.0, True)])
+def test_interpret_testmode_quadrotor3d_full_kernel_math(ou, anti):
+    """Sixth fused family: the full 3-D quadrotor — A=4 coupled action dims
+    (G=2 groups/tile) and a 13-tile quaternion state with an rsqrt renorm
+    per step. Verified on CPU against the scan oracle with identical
+    pseudo-noise, across OU and antithetic modes."""
+    K, T = 300, 10
+    dyn, cost, x0, U, sigma = _setup_quadrotor3d(T, K)
+    key = jax.random.key(13)
+    assert pr.family_for(dyn, cost) == "quadrotor3d"
+    plan = pr.make_plan(K, T, 4, antithetic=anti, ou_beta=ou, testmode=True,
+                        family="quadrotor3d")
+    assert plan.G == 2
+    eps_ref = pr.fake_noise_tensor(plan, sigma, ou_beta=ou, key=key)
+
+    S = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, antithetic=anti, ou_beta=ou,
+        interpret=True, testmode=True,
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S[:K]), np.asarray(S_oracle), rtol=5e-5)
+    assert np.all(np.asarray(S[K:]) > 1e37)
+
+    w = jax.random.dirichlet(key, jnp.ones((K,)))
+    w_pad = jnp.zeros((plan.Kpad,)).at[:K].set(w)
+    dU = pr.pallas_weighted_update(
+        dyn, cost, x0, U, key, sigma, w_pad, K=K, antithetic=anti, ou_beta=ou,
+        interpret=True, testmode=True,
+    )
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], w)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def test_interpret_testmode_quadrotor3d_fused_solve():
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    K, T = 300, 8
+    dyn, cost, x0, U, sigma = _setup_quadrotor3d(T, K)
+    key, lam = jax.random.key(7), jnp.float32(0.3)
+    plan = pr.make_plan(K, T, 4, testmode=True, family="quadrotor3d")
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(S_oracle), rtol=5e-5)
+    sm = softmin_weights(Sf, lam)
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], sm.weights[:K])
+    np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+def test_quadrotor3d_auto_backend_resolution():
+    from mppi_gpu_tpu.controller import resolve_backend
+
+    dyn, cost, *_ = _setup_quadrotor3d()
+    assert resolve_backend("auto", dyn, cost, platform="tpu") == "pallas"
+    assert resolve_backend("auto", dyn, cost, platform="cpu") == "scan"
+
+
 def test_quadrotor_auto_backend_resolution():
     from mppi_gpu_tpu.controller import resolve_backend
 

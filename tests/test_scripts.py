@@ -95,7 +95,8 @@ def test_plot_miss(tmp_path):
 @pytest.mark.parametrize(
     "env,s,a",
     [("point_mass1d", 2, 1), ("point_mass2d", 4, 2), ("point_mass3d", 6, 3),
-     ("pendulum", 2, 1), ("cartpole", 4, 1), ("quadrotor", 6, 2)],
+     ("pendulum", 2, 1), ("cartpole", 4, 1), ("quadrotor", 6, 2),
+     ("quadrotor3d", 13, 4)],
 )
 def test_animate_all_scene_families(tmp_path, env, s, a):
     """The offline viewer (scripts/animate.py — substitute for the
@@ -147,7 +148,7 @@ def _egl_rendering_available() -> bool:
 @pytest.mark.parametrize(
     "env,s,a",
     [("point_mass2d", 4, 2), ("pendulum", 2, 1), ("cartpole", 4, 1),
-     ("quadrotor", 6, 2)],
+     ("quadrotor", 6, 2), ("quadrotor3d", 13, 4)],
 )
 def test_animate_mujoco_renderer(tmp_path, env, s, a):
     """`--renderer mujoco`: the recorded episode replayed through the real
