@@ -56,3 +56,12 @@ def test_quadrotor_waypoints_smoke(tmp_path, capsys):
     assert "waypoints visited" in out
     assert (tmp_path / "wp.png").exists()
     assert rc in (0, 1)  # 40 steps can't finish the tour; pipeline still runs
+
+
+def test_quadrotor3d_flight_smoke(tmp_path, capsys):
+    mod = _load("quadrotor3d_flight.py")
+    rc = mod.main(["-o", str(tmp_path / "wp3d.png"), "--steps", "30"])
+    out = capsys.readouterr().out
+    assert "waypoints visited" in out
+    assert (tmp_path / "wp3d.png").exists()
+    assert rc in (0, 1)  # 30 steps can't finish the tour; pipeline still runs
