@@ -96,16 +96,12 @@ def main(argv=None) -> int:
     ax.plot(xs[:, 0], xs[:, 1], xs[:, 2], "-", color="C0", lw=1.2,
             label="flight path")
     # attitude crosses from the quaternion every ~0.5 s
+    from mppi_gpu_tpu.envs.quadrotor3d_world import quat_to_body_axes
+
     arm = 0.17
     for i in range(0, len(xs), 30):
-        pxyz, (qw, qx, qy, qz) = xs[i, 0:3], xs[i, 3:7]
-        bx = np.array([1 - 2 * (qy * qy + qz * qz),
-                       2 * (qx * qy + qw * qz),
-                       2 * (qx * qz - qw * qy)]) * arm
-        by = np.array([2 * (qx * qy - qw * qz),
-                       1 - 2 * (qx * qx + qz * qz),
-                       2 * (qy * qz + qw * qx)]) * arm
-        for b in (bx, by):
+        pxyz = xs[i, 0:3]
+        for b in quat_to_body_axes(xs[i, 3:7], arm):
             ax.plot(*[[pxyz[d] - b[d], pxyz[d] + b[d]] for d in range(3)],
                     "-", color="0.4", lw=1.8)
     ax.plot([xs[0, 0]], [xs[0, 1]], [xs[0, 2]], "o", color="C0", label="start")

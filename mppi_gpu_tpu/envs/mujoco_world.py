@@ -344,14 +344,14 @@ class MujocoQuadrotor3DWorld(_MujocoWorldBase):
         self.reset()
 
     def _mix(self, u: np.ndarray) -> np.ndarray:
-        from mppi_gpu_tpu.envs.quadrotor3d_world import mix_to_rotors
-
-        return np.asarray(
-            mix_to_rotors(
-                np.asarray(u, np.float32).reshape(4),
-                self.params.arm, self.params.kappa,
-            )
-        )
+        # pure-numpy twin of quadrotor3d_world.mix_to_rotors: this runs once
+        # per host-loop physics step, where eager jnp dispatch on a 4-vector
+        # would dwarf mj_step itself
+        F, tx, ty, tz = np.asarray(u, np.float64).reshape(4)
+        qf = F / 4.0
+        gx, gy = tx / (2.0 * self.params.arm), ty / (2.0 * self.params.arm)
+        gz = tz / (4.0 * self.params.kappa)
+        return np.array([qf - gy + gz, qf + gx - gz, qf + gy + gz, qf - gx - gz])
 
     def simulate(self, u: np.ndarray) -> bool:
         return super().simulate(self._mix(u))

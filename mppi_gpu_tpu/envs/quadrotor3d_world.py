@@ -70,6 +70,23 @@ def mix_to_rotors(u: jax.Array, arm: float, kappa: float) -> jax.Array:
     return jnp.stack([qf - qy + qz, qf + qx - qz, qf + qy + qz, qf - qx - qz], axis=-1)
 
 
+def quat_to_body_axes(q, scale: float = 1.0):
+    """World-frame body x̂ and ŷ (columns of R(q)), numpy-friendly — the
+    shared attitude-drawing helper for the viewer and the examples.
+    `q` is (qw, qx, qy, qz); returns two length-3 arrays scaled by
+    `scale`."""
+    import numpy as np
+
+    qw, qx, qy, qz = (float(v) for v in q)
+    bx = np.array([1 - 2 * (qy * qy + qz * qz),
+                   2 * (qx * qy + qw * qz),
+                   2 * (qx * qz - qw * qy)]) * scale
+    by = np.array([2 * (qx * qy - qw * qz),
+                   1 - 2 * (qx * qx + qz * qz),
+                   2 * (qy * qz + qw * qx)]) * scale
+    return bx, by
+
+
 def rotors_to_wrench(f: jax.Array, arm: float, kappa: float) -> jax.Array:
     """(4,) rotor thrusts → achieved [F, τx, τy, τz] (inverse of the mixer)."""
     f1, f2, f3, f4 = f[..., 0], f[..., 1], f[..., 2], f[..., 3]

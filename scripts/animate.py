@@ -242,15 +242,10 @@ class _Quadrotor3DScene:
                                 solid_capstyle="round", zorder=4)
 
     def update(self, i):
+        from mppi_gpu_tpu.envs.quadrotor3d_world import quat_to_body_axes
+
         p = self.p[i]
-        qw, qx, qy, qz = self.q[i]
-        # body x̂ and ŷ in world coords (columns of R(q))
-        bx = np.array([1 - 2 * (qy * qy + qz * qz),
-                       2 * (qx * qy + qw * qz),
-                       2 * (qx * qz - qw * qy)]) * self.arm
-        by = np.array([2 * (qx * qy - qw * qz),
-                       1 - 2 * (qx * qx + qz * qz),
-                       2 * (qy * qz + qw * qx)]) * self.arm
+        bx, by = quat_to_body_axes(self.q[i], self.arm)
         self.arm_x.set_data_3d(*[[p[d] - bx[d], p[d] + bx[d]] for d in range(3)])
         self.arm_y.set_data_3d(*[[p[d] - by[d], p[d] + by[d]] for d in range(3)])
         self.trail.set_data_3d(self.p[: i + 1, 0], self.p[: i + 1, 1],

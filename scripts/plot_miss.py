@@ -38,12 +38,12 @@ def main(argv: list[str] | None = None) -> int:
         vel_keys = [f"qd{k[1:]}" for k in pos_keys]
     else:
         # generic x{i} layout (odd state dims — the quaternion quadrotor):
-        # first 3 columns are position, last 3 are body rates
+        # x0..x2 position, x7..x9 the paired linear velocities
         xs = sorted(
             (k[:-2] for k in cols if k.startswith("x") and k.endswith("_s")),
             key=lambda k: int(k[1:]),
         )
-        pos_keys, vel_keys = xs[:3], xs[-3:]
+        pos_keys, vel_keys = xs[:3], xs[7:10]
 
     fig, (ax_q, ax_qd, ax_e) = plt.subplots(3, 1, figsize=(9, 9), sharex=True)
     for i, (pk, vk) in enumerate(zip(pos_keys, vel_keys)):
