@@ -11,7 +11,11 @@ from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
 from mppi_gpu_tpu.models.pendulum import PendulumDynamics
 from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
 from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
-from mppi_gpu_tpu.models.neural import MLPDynamics, init_mlp_dynamics
+from mppi_gpu_tpu.models.neural import (
+    HybridResidualDynamics,
+    MLPDynamics,
+    init_mlp_dynamics,
+)
 
 
 def dynamics_for_config(cfg) -> Dynamics:
@@ -31,5 +35,6 @@ def dynamics_for_config(cfg) -> Dynamics:
 __all__ = [
     "Dynamics", "PointMassLTI", "PendulumDynamics", "CartPoleDynamics",
     "QuadrotorDynamics", "Quadrotor3DDynamics", "MLPDynamics",
+    "HybridResidualDynamics",
     "init_mlp_dynamics", "dynamics_for_config",
 ]

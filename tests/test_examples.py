@@ -58,6 +58,14 @@ def test_quadrotor_waypoints_smoke(tmp_path, capsys):
     assert rc in (0, 1)  # 40 steps can't finish the tour; pipeline still runs
 
 
+def test_learn_quadrotor_residual_smoke(capsys):
+    mod = _load("learn_quadrotor_residual.py")
+    rc = mod.main(["--transitions", "512", "--fit-steps", "120", "--loop-steps", "4"])
+    out = capsys.readouterr().out
+    assert "hybrid model" in out
+    assert rc in (0, 1)  # 120 fit steps may not beat analytic; pipeline ran
+
+
 def test_quadrotor3d_flight_smoke(tmp_path, capsys):
     mod = _load("quadrotor3d_flight.py")
     rc = mod.main(["-o", str(tmp_path / "wp3d.png"), "--steps", "30"])
