@@ -357,6 +357,7 @@ ALL_CASES = [
     (100_000, "pallas", False, 20, "quadrotor"),
     (100_000, "scan", False, 20, "quadrotor3d"),
     (100_000, "pallas", False, 20, "quadrotor3d"),
+    (100_000, "pallas", True, 20, "quadrotor3d"),
 ]
 
 

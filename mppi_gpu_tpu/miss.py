@@ -126,7 +126,11 @@ def run_mismatch_config(
     there point-mass-only)."""
     import jax as _jax
 
-    from mppi_gpu_tpu.envs import make_jax_world, params_for_config
+    from mppi_gpu_tpu.envs import (
+        is_quadrotor3d_env,
+        make_jax_world,
+        params_for_config,
+    )
     from mppi_gpu_tpu.models import dynamics_for_config
 
     rng = np.random.default_rng(seed)
@@ -148,11 +152,7 @@ def run_mismatch_config(
     x0 = jnp.asarray(ws0.x)
 
     if world_backend in ("native", "mujoco"):
-        from mppi_gpu_tpu.envs import (
-            is_cartpole_env,
-            is_quadrotor3d_env,
-            is_quadrotor_env,
-        )
+        from mppi_gpu_tpu.envs import is_cartpole_env, is_quadrotor_env
 
         if world_backend == "native":
             from mppi_gpu_tpu.envs.native import (
@@ -222,8 +222,6 @@ def run_mismatch_config(
     xm, xw = rollouts(jnp.asarray(us), with_world=xw_full is None)
     if xw_full is not None:
         xw = xw_full
-    from mppi_gpu_tpu.envs import is_quadrotor3d_env
-
     return MismatchResult(
         traj_model=np.asarray(xm), traj_world=np.asarray(xw), us=us,
         pos_dims=3 if is_quadrotor3d_env(cfg.env) else 0,

@@ -12,7 +12,7 @@ shards/jits trivially; widths are chosen MXU-friendly by default (128 lanes).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Sequence
 
 import jax
@@ -38,6 +38,10 @@ class MLPDynamics:
         x = jnp.broadcast_to(x, batch + (self.state_dim,))
         u = jnp.broadcast_to(u, batch + (self.action_dim,))
         h = jnp.concatenate([x, u], axis=-1)
+        if (self.in_shift is None) != (self.in_scale is None):
+            raise ValueError(
+                "in_shift and in_scale must be set together (got exactly one)"
+            )
         if self.in_shift is not None:
             # standardized inputs keep the tanh layers out of saturation when
             # raw components span decades (e.g. hover thrust ~8 vs rates ~0.1)
@@ -149,17 +153,7 @@ def fit_residual_dynamics(
 
     def loss_fn(params):
         w, b = params
-        m = HybridResidualDynamics(
-            base=model.base,
-            mlp=MLPDynamics(
-                weights=w, biases=b,
-                residual_scale=model.mlp.residual_scale,
-                in_shift=model.mlp.in_shift, in_scale=model.mlp.in_scale,
-                state_dim=model.mlp.state_dim,
-                action_dim=model.mlp.action_dim,
-            ),
-            unit_norm_slice=model.unit_norm_slice,
-        )
+        m = replace(model, mlp=replace(model.mlp, weights=w, biases=b))
         pred = m.step(xs, us)
         return jnp.mean(jnp.sum(((pred - xn) * err_w) ** 2, axis=-1))
 
@@ -183,20 +177,7 @@ def fit_residual_dynamics(
 
     params, losses = run(params)
     w, b = params
-    return (
-        HybridResidualDynamics(
-            base=model.base,
-            mlp=MLPDynamics(
-                weights=w, biases=b,
-                residual_scale=model.mlp.residual_scale,
-                in_shift=model.mlp.in_shift, in_scale=model.mlp.in_scale,
-                state_dim=model.mlp.state_dim,
-                action_dim=model.mlp.action_dim,
-            ),
-            unit_norm_slice=model.unit_norm_slice,
-        ),
-        losses,
-    )
+    return replace(model, mlp=replace(model.mlp, weights=w, biases=b)), losses
 
 
 def fit_mlp_dynamics(
@@ -215,14 +196,7 @@ def fit_mlp_dynamics(
 
     def loss_fn(params):
         w, b = params
-        m = MLPDynamics(
-            weights=w,
-            biases=b,
-            residual_scale=model.residual_scale,
-            in_shift=model.in_shift, in_scale=model.in_scale,
-            state_dim=model.state_dim,
-            action_dim=model.action_dim,
-        )
+        m = replace(model, weights=w, biases=b)
         pred = m.step(xs, us)
         return jnp.mean(jnp.sum((pred - xn) ** 2, axis=-1))
 
@@ -246,14 +220,4 @@ def fit_mlp_dynamics(
 
     params, losses = run(params)
     w, b = params
-    return (
-        MLPDynamics(
-            weights=w,
-            biases=b,
-            residual_scale=model.residual_scale,
-            in_shift=model.in_shift, in_scale=model.in_scale,
-            state_dim=model.state_dim,
-            action_dim=model.action_dim,
-        ),
-        losses,
-    )
+    return replace(model, weights=w, biases=b), losses

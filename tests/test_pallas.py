@@ -441,7 +441,7 @@ def test_interpret_testmode_quadrotor_fused_solve():
     np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
 
 
-def _setup_quadrotor3d(T=10, K=300):
+def _setup_quadrotor3d(T=10):
     from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
     from mppi_gpu_tpu.ops.cost import Quadrotor3DHoverCost
 
@@ -483,7 +483,7 @@ def test_interpret_testmode_quadrotor3d_full_kernel_math(ou, anti):
     per step. Verified on CPU against the scan oracle with identical
     pseudo-noise, across OU and antithetic modes."""
     K, T = 300, 10
-    dyn, cost, x0, U, sigma = _setup_quadrotor3d(T, K)
+    dyn, cost, x0, U, sigma = _setup_quadrotor3d(T)
     key = jax.random.key(13)
     assert pr.family_for(dyn, cost) == "quadrotor3d"
     plan = pr.make_plan(K, T, 4, antithetic=anti, ou_beta=ou, testmode=True,
@@ -513,7 +513,7 @@ def test_interpret_testmode_quadrotor3d_fused_solve():
     from mppi_gpu_tpu.ops.softmin import softmin_weights
 
     K, T = 300, 8
-    dyn, cost, x0, U, sigma = _setup_quadrotor3d(T, K)
+    dyn, cost, x0, U, sigma = _setup_quadrotor3d(T)
     key, lam = jax.random.key(7), jnp.float32(0.3)
     plan = pr.make_plan(K, T, 4, testmode=True, family="quadrotor3d")
     eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
