@@ -14,6 +14,7 @@ Modes:
     python bench.py                      # headline K=1e4 T=200 (auto backend)
     python bench.py --backend pallas --extra --antithetic
     python bench.py --sharded            # mesh-size sweep {1,2,..} weak+strong
+    python bench.py --fleet 16           # 16-robot fleet, scan vs fleet kernel
     python bench.py --sharded --virtual  # same on an 8-device virtual CPU mesh
     python bench.py --mlp                # MLP-dynamics rollout (MXU workload)
     python bench.py --all                # regenerate the full BASELINE table
@@ -44,11 +45,8 @@ else:
 import jax.numpy as jnp
 
 
-def build(K: int, T: int, backend: str, antithetic: bool = False,
-          mesh=None, mlp: bool = False, testmode: bool = False,
-          family: str = "lti"):
+def make_cfg(K: int, T: int, family: str = "lti", antithetic: bool = False):
     from mppi_gpu_tpu.config import MPPIConfig
-    from mppi_gpu_tpu.controller import MPPIController
 
     if family == "pendulum":
         cfg = MPPIConfig(
@@ -101,6 +99,15 @@ def build(K: int, T: int, backend: str, antithetic: bool = False,
             cost_type="quadratic", cost_w=(1.0, 1.0, 1.0, 5.0, 5.0, 5.0),
             antithetic=antithetic,
         )
+    return cfg
+
+
+def build(K: int, T: int, backend: str, antithetic: bool = False,
+          mesh=None, mlp: bool = False, testmode: bool = False,
+          family: str = "lti"):
+    from mppi_gpu_tpu.controller import MPPIController
+
+    cfg = make_cfg(K, T, family, antithetic)
     dynamics = None
     if mlp:
         from mppi_gpu_tpu.models.neural import init_mlp_dynamics
@@ -117,6 +124,23 @@ def build(K: int, T: int, backend: str, antithetic: bool = False,
             cfg, dynamics, mesh=mesh, rollout_backend=backend, testmode=testmode
         )
     return MPPIController(cfg, dynamics, rollout_backend=backend)
+
+
+def bench_x0(family: str) -> "jnp.ndarray":
+    if family == "pendulum":
+        return jnp.asarray([3.0, 0.1], jnp.float32)  # hanging, slight spin
+    if family == "cartpole":
+        return jnp.asarray([0.1, 0.2, 0.0, 0.0], jnp.float32)  # pole leaning
+    if family == "quadrotor":
+        return jnp.asarray([-1.0, 0.0, 0.05, 0.2, 0.0, 0.1], jnp.float32)
+    if family == "quadrotor3d":
+        return jnp.concatenate(
+            [jnp.asarray([-1.0, 0.0, 0.5]),
+             jnp.asarray([1.0, 0.0, 0.0, 0.0]),     # level
+             jnp.asarray([0.2, 0.0, 0.1]), jnp.asarray([0.0, 0.1, 0.0])]
+        ).astype(jnp.float32)
+    # lti / obstacle (point_mass3d state)
+    return jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
 
 
 def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
@@ -142,20 +166,7 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
 
     ctrl = build(K, T, backend, antithetic, mesh=mesh, mlp=mlp,
                  testmode=testmode, family=family)
-    if family == "pendulum":
-        x = jnp.asarray([3.0, 0.1], jnp.float32)  # hanging, slight spin
-    elif family == "cartpole":
-        x = jnp.asarray([0.1, 0.2, 0.0, 0.0], jnp.float32)  # pole leaning
-    elif family == "quadrotor":
-        x = jnp.asarray([-1.0, 0.0, 0.05, 0.2, 0.0, 0.1], jnp.float32)
-    elif family == "quadrotor3d":
-        x = jnp.concatenate(
-            [jnp.asarray([-1.0, 0.0, 0.5]),
-             jnp.asarray([1.0, 0.0, 0.0, 0.0]),     # level
-             jnp.asarray([0.2, 0.0, 0.1]), jnp.asarray([0.0, 0.1, 0.0])]
-        ).astype(jnp.float32)
-    else:  # lti / obstacle (point_mass3d state)
-        x = jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
+    x = bench_x0(family)
     U0 = ctrl.init_action_seq()
     key0 = jax.random.key(0)
 
@@ -339,6 +350,118 @@ def run_episode(args) -> dict:
     }
 
 
+def bench_fleet_solve(R: int, K: int, T: int, backend: str, iters: int,
+                      warmup: int, family: str = "lti", reps: int = 5,
+                      antithetic: bool = False) -> dict:
+    """Times one whole-fleet solve (R robots x K rollouts each) with the same
+    chained-scan differencing as :func:`bench_solve`."""
+    import time
+
+    import numpy as np
+
+    from mppi_gpu_tpu.batched import BatchedMPPIController
+
+    cfg = make_cfg(K, T, family, antithetic)
+    ctrl = BatchedMPPIController(cfg, R, rollout_backend=backend)
+    x1 = bench_x0(family)
+    # distinct per-robot starts: position offsets only, so quaternion states
+    # stay unit
+    offs = jnp.zeros((R, cfg.state_dim)).at[:, 0].set(
+        0.05 * jnp.arange(R, dtype=jnp.float32)
+    )
+    xs = x1[None, :] + offs
+    Us0 = ctrl.init_action_seqs()
+    keys0 = ctrl.init_keys()
+
+    def make_chain(n: int):
+        @jax.jit
+        def chain(xs, Us):
+            def body(Us, i):
+                keys = jax.vmap(jax.random.fold_in, (0, None))(keys0, i)
+                res = ctrl._solve_batch(
+                    ctrl.dynamics, ctrl.cost, xs, Us, keys,
+                    ctrl.sigma, ctrl.lambda_, ctrl.max_a,
+                )
+                return res.u_next, res.action[:, 0]
+            Uf, acts = jax.lax.scan(body, Us, jnp.arange(n))
+            return jnp.sum(Uf) + jnp.sum(acts)
+
+        return chain
+
+    n_small, n_big = max(warmup, 4), max(warmup, 4) + iters
+    small, big = make_chain(n_small), make_chain(n_big)
+
+    def timed(f) -> float:
+        t0 = time.perf_counter()
+        v = float(f(xs, Us0))
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
+
+    timed(small), timed(big)
+    ests = []
+    for _ in range(reps):
+        ts, tb = timed(small), timed(big)
+        ests.append((tb - ts) * 1e3 / (n_big - n_small))
+    ests = sorted(ests)
+    return {
+        "p50_ms": float(np.median(ests)),
+        "min_ms": max(ests[0], 0.0),
+        "max_ms": ests[-1],
+        "spread_ms": ests[-1] - ests[0],
+        "reps": reps,
+        "estimates_ms": [round(e, 4) for e in ests],
+        "backend": ctrl.rollout_backend,
+    }
+
+
+def run_fleet(args) -> dict:
+    """Fleet headline: R robots x K rollouts per whole-fleet solve, scan
+    (vmap) vs the fleet fused kernel (grid axis = robot axis)."""
+    platform = jax.devices()[0].platform
+    R, K = args.fleet, args.k
+    out = {}
+    backends = ["scan"] + (["pallas"] if platform == "tpu" else [])
+    for backend in backends:
+        try:
+            s = bench_fleet_solve(R, K, args.t, backend, args.iters,
+                                  args.warmup, family=args.family,
+                                  antithetic=args.antithetic)
+        except Exception as e:  # noqa: BLE001 — e.g. the scan fleet's
+            # (R, T, K, a) noise tensor exceeding HBM at scales the fused
+            # fleet (on-chip noise) still runs; that asymmetry IS a result
+            print(
+                f"fleet R={R} K={K} T={args.t} [{backend}]: FAILED "
+                f"({type(e).__name__}: {str(e)[:160]})",
+                file=sys.stderr,
+            )
+            out[backend] = {"failed": type(e).__name__}
+            continue
+        out[backend] = s
+        print(
+            f"fleet R={R} K={K} T={args.t} [{backend}"
+            + (" + antithetic" if args.antithetic else "")
+            + (f" ({args.family})" if args.family != "lti" else "")
+            + f"]: {_fmt(s)} per fleet-solve "
+            f"({R * 1e3 / s['p50_ms']:.0f} robot-solves/s)",
+            file=sys.stderr,
+        )
+    ok = [s for s in out.values() if "p50_ms" in s]
+    if not ok:
+        raise RuntimeError("every fleet backend failed")
+    best = min(ok, key=lambda s: s["p50_ms"])
+    return {
+        "metric": f"ms_per_fleet_solve_R{R}_K{K}_T{args.t}"
+        + (f"_{args.family}" if args.family != "lti" else ""),
+        "value": round(best["p50_ms"], 4),
+        "unit": "ms",
+        "vs_baseline": None,
+        "per_backend": {
+            b: {k: v for k, v in s.items() if k != "estimates_ms"}
+            for b, s in out.items()
+        },
+    }
+
+
 ALL_CASES = [
     # (K, backend, antithetic, iters, family)
     (10_000, "scan", False, 60, "lti"),
@@ -459,6 +582,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="fused model family for the workload")
     p.add_argument("--sharded", action="store_true",
                    help="mesh-size sweep with weak/strong scaling efficiency")
+    p.add_argument("--fleet", type=int, default=0, metavar="R",
+                   help="fleet mode: R robots x K rollouts per solve, scan "
+                   "(vmap) vs the fleet fused kernel")
     p.add_argument("--episode", action="store_true",
                    help="whole-episode-jit headline (10 s closed loop, one "
                    "XLA program) for both backends")
@@ -494,6 +620,8 @@ def main() -> int:
 
     if args.sharded:
         out = run_sharded(args)
+    elif args.fleet:
+        out = run_fleet(args)
     elif args.episode:
         out = run_episode(args)
     elif args.all:
@@ -511,7 +639,7 @@ def _supervise(args) -> int:
     import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__), "--inner"]
-    for flag in ("k", "t", "iters", "warmup"):
+    for flag in ("k", "t", "iters", "warmup", "fleet"):
         cmd += [f"--{flag}", str(getattr(args, flag))]
     cmd += ["--backend", args.backend, "--mesh-sizes", args.mesh_sizes,
             "--family", args.family]

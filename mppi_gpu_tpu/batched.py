@@ -8,9 +8,17 @@ fed when a single robot's K is modest. Dynamics and cost are shared; goals
 may differ per robot (the common fleet case) by vmapping over the cost's
 goal leaf.
 
-Uses the scan rollout backend: `vmap` composes with `lax.scan` trivially,
-whereas the Pallas kernels assume their grid axis 0 is the K-tile index and
-would mis-seed under vmap's prepended batch axis.
+Two fleet execution modes:
+
+- **scan** — `jax.vmap` over the scan solve: composes trivially, works for
+  ANY dynamics/cost (including MLP/hybrid models).
+- **pallas** — the fleet FUSED kernel (`ops.pallas_rollout.
+  pallas_fleet_solve_core`): `vmap` cannot batch the Pallas kernels (their
+  grid axis 0 is the K-tile index and would mis-seed), so the fleet is a
+  grid axis instead — grid (R, tiles), with per-robot U/x0/goal/seed blocks
+  selected by BlockSpec index maps. One kernel launch solves the whole
+  fleet with zero HBM noise traffic. `auto` picks it on TPU whenever a
+  fused family covers the (dynamics, cost) pair.
 """
 
 from __future__ import annotations
@@ -22,9 +30,16 @@ import jax
 import jax.numpy as jnp
 
 from mppi_gpu_tpu.config import MPPIConfig
-from mppi_gpu_tpu.controller import MPPIController, SolveResult, mppi_solve
+from mppi_gpu_tpu.controller import (
+    MPPIController,
+    SolveInfo,
+    SolveResult,
+    mppi_solve,
+    shift_action_seq,
+)
 from mppi_gpu_tpu.models.base import Dynamics
 from mppi_gpu_tpu.ops.cost import Cost
+from mppi_gpu_tpu.ops.softmin import softmin_weights
 
 
 def _has_goal(c) -> bool:
@@ -70,8 +85,13 @@ class BatchedMPPIController(MPPIController):
         cost: Cost | None = None,
         *,
         goals: jax.Array | None = None,  # (B, s) per-robot goals (optional)
+        rollout_backend: str = "auto",
+        testmode: bool = False,
     ) -> None:
-        super().__init__(cfg, dynamics, cost, rollout_backend="scan")
+        super().__init__(
+            cfg, dynamics, cost, rollout_backend=rollout_backend,
+            testmode=testmode,
+        )
         self.n_robots = n_robots
 
         cost_axes = None
@@ -83,17 +103,58 @@ class BatchedMPPIController(MPPIController):
                 )
             self.cost, cost_axes = _batch_goals(self.cost, goals)
 
-        solve = partial(
-            mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,
-            rollout_backend="scan", antithetic=cfg.antithetic,
-            ou_beta=cfg.noise_beta,
-        )
-        self._solve_batch = jax.jit(
-            jax.vmap(
-                solve,
-                in_axes=(None, cost_axes, 0, 0, 0, None, None, None),
+        if self.rollout_backend in ("pallas", "pallas-interpret"):
+            self._solve_batch = self._build_pallas_fleet(cfg, cost_axes, testmode)
+        else:
+            solve = partial(
+                mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,
+                rollout_backend="scan", antithetic=cfg.antithetic,
+                ou_beta=cfg.noise_beta,
             )
-        )
+            self._solve_batch = jax.jit(
+                jax.vmap(
+                    solve,
+                    in_axes=(None, cost_axes, 0, 0, 0, None, None, None),
+                )
+            )
+
+    def _build_pallas_fleet(self, cfg: MPPIConfig, cost_axes, testmode: bool):
+        """Jitted whole-fleet solve through the fleet fused kernel: one
+        launch computes every robot's rollout costs AND ΔU; only the tiny
+        per-robot softmin diagnostics + clamp/shift tail run in XLA."""
+        from mppi_gpu_tpu.ops import pallas_rollout as pr
+
+        pr.check_supported(self.dynamics, self.cost)
+        K = cfg.samples
+        interpret = self.rollout_backend == "pallas-interpret"
+
+        def solve_fleet(dyn, cost, xs, Us, keys, sigma, lambda_, max_a):
+            S, dU = pr.pallas_fleet_solve_core(
+                dyn, cost, xs, Us, keys, sigma, lambda_,
+                K=K, antithetic=cfg.antithetic, ou_beta=cfg.noise_beta,
+                testmode=testmode, interpret=interpret, cost_axes=cost_axes,
+            )
+
+            def tail(S_r, dU_r, U_r):
+                # β/η/weights re-derived from S for SolveInfo parity with the
+                # scan fleet; DCE removes them when the caller only consumes
+                # action/u_next (same trick as the single-robot fused path)
+                sm = softmin_weights(S_r, lambda_)
+                u_new = U_r + dU_r
+                if cfg.clamp_action:
+                    u_new = jnp.clip(u_new, -max_a, max_a)
+                return SolveResult(
+                    action=u_new[0],
+                    u_next=shift_action_seq(u_new),
+                    info=SolveInfo(
+                        costs=S_r[:K], beta=sm.beta, eta=sm.eta,
+                        weights=sm.weights[:K], u_seq=u_new,
+                    ),
+                )
+
+            return jax.vmap(tail)(S, dU, Us)
+
+        return jax.jit(solve_fleet)
 
     # -- batched state helpers --------------------------------------------
     def init_action_seqs(self) -> jax.Array:

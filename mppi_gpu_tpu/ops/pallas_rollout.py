@@ -276,19 +276,21 @@ def anti_rank_perm(plan: PallasPlan) -> jax.Array:
     return block + lane
 
 
-def _seed(ints_ref, i):
+def _seed(seed0, seed1, i):
     # fold the grid position into seed word 0 (golden-ratio odd constant);
     # kernels A and B MUST seed identically to replay the same ε stream.
-    pltpu.prng_seed(ints_ref[0, 0] + i * jnp.int32(-1640531527), ints_ref[0, 1])
+    # `seed0`/`seed1` are int32 scalars read from the packed ints — scalars
+    # (not a ref) so the fleet kernels can hand in THEIR robot's row.
+    pltpu.prng_seed(seed0 + i * jnp.int32(-1640531527), seed1)
 
 
-def _kernel_sid(ints_ref, plan: PallasPlan):
+def _kernel_sid(seed0, plan: PallasPlan):
     """Testmode stream id from the packed seed word (host twin:
     :func:`_seed_stream_id`); None outside testmode so the real-PRNG kernels
     carry no extra ops."""
     if not plan.testmode:
         return None
-    return (ints_ref[0, 0] & jnp.int32(1023)).astype(jnp.float32)
+    return (seed0 & jnp.int32(1023)).astype(jnp.float32)
 
 
 # --------------------------------------------------------------------------
@@ -901,22 +903,26 @@ def family_for(dyn, cost) -> str:
     )
 
 
-def _rollout_phase_S(tile_i, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan):
+def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan):
     """Seed tile `tile_i`'s PRNG stream, roll out its G·KB rollouts over T,
     and return the K-masked (G, KB) cost tile. The SINGLE implementation of
-    the rollout-cost phase, shared by kernel A and the fused kernel — the
-    two execution modes must stay bit-identical. Generic over the fused
-    family (plan.family): the family supplies the state integration and
-    state-cost tile math; everything else is shared."""
+    the rollout-cost phase, shared by kernel A, the fused kernel and the
+    fleet kernel — the execution modes must stay bit-identical. Generic over
+    the fused family (plan.family): the family supplies the state
+    integration and state-cost tile math; everything else is shared.
+    `seeds` = (seed0, seed1, Ktrue) int32 scalars (the fleet kernel passes
+    its robot's row); `u_ref`/`p_ref` may be VMEM refs OR loaded arrays —
+    both are only read via slicing."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
     fam = FAMILIES[plan.family]
-    _seed(ints_ref, tile_i)
+    seed0, seed1, k_true = seeds
+    _seed(seed0, seed1, tile_i)
     lam = scal_ref[0, 1]
     u_all = u_ref[:, :]
     sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
     lam_invs = lam * p_ref[:, _P_INVS:_P_INVS + 1]
     carry0, fam_step, fam_final = fam.build(p_ref, scal_ref, plan)
-    sid = _kernel_sid(ints_ref, plan)
+    sid = _kernel_sid(seed0, plan)
 
     def body(t, carry):
         state, acc, e_prev = carry
@@ -940,15 +946,17 @@ def _rollout_phase_S(tile_i, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan)
     )  # (G, KB)
     # mask rollouts beyond the true K so their softmin weight underflows to 0
     # (rank-based: never splits an antithetic mirror pair)
-    return jnp.where(_lane_rank(plan, tile_i) < ints_ref[0, 2], S, jnp.float32(BIG))
+    return jnp.where(_lane_rank(plan, tile_i) < k_true, S, jnp.float32(BIG))
 
 
-def _update_phase_acc(tile_i, w_tile, ints_ref, scal_ref, u_ref, p_ref, plan: PallasPlan):
+def _update_phase_acc(tile_i, w_tile, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan):
     """Re-seed tile `tile_i`'s stream IDENTICALLY to :func:`_rollout_phase_S`,
     regenerate its noise, and return the (SUB, Tpad) ΔU contribution weighted
-    by `w_tile` (G, KB). Shared by kernel B and the fused kernel."""
+    by `w_tile` (G, KB). Shared by kernel B, the fused kernel and the fleet
+    kernel."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
-    _seed(ints_ref, tile_i)
+    seed0, seed1, _ = seeds
+    _seed(seed0, seed1, tile_i)
     u_all = u_ref[:, :]  # noqa: F841 — unused; kept so both phases read the same refs
     sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
     # expand group weights to one row per (group, action-dim): rows g*A+i = w[g]
@@ -958,7 +966,7 @@ def _update_phase_acc(tile_i, w_tile, ints_ref, scal_ref, u_ref, p_ref, plan: Pa
         axis=0,
     )  # (SUB, KB)
 
-    sid = _kernel_sid(ints_ref, plan)
+    sid = _kernel_sid(seed0, plan)
 
     def body(t, carry):
         acc, e_prev = carry
@@ -988,7 +996,8 @@ def _rollout_cost_kernel(
     *, plan: PallasPlan,
 ):
     s_ref[:, :] = _rollout_phase_S(
-        pl.program_id(0), ints_ref, scal_ref, u_ref, p_ref, plan
+        pl.program_id(0), (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2]),
+        scal_ref, u_ref, p_ref, plan,
     )
 
 
@@ -1008,7 +1017,8 @@ def _weighted_update_kernel(
         du_ref[:, :] = jnp.zeros_like(du_ref)
 
     du_ref[:, :] += _update_phase_acc(
-        i, w_ref[:, :], ints_ref, scal_ref, u_ref, p_ref, plan
+        i, w_ref[:, :], (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2]),
+        scal_ref, u_ref, p_ref, plan,
     )
 
 
@@ -1187,11 +1197,11 @@ def _noise_dump_kernel(
 
     @pl.when(t == 0)
     def _():
-        _seed(ints_ref, i)
+        _seed(ints_ref[0, 0], ints_ref[0, 1], i)
         ep_scr[:, :] = jnp.zeros_like(ep_scr)
 
     sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
-    sid = _kernel_sid(ints_ref, plan)
+    sid = _kernel_sid(ints_ref[0, 0], plan)
     eps, e_prev = _next_eps(
         t, ep_scr[:, :], sigma, scal_ref, plan.KB, plan.anti, plan.ou, i,
         plan.testmode, sid,
@@ -1283,6 +1293,7 @@ def _fused_solve_kernel(
     i = pl.program_id(0)
     KB, nk = plan.KB, plan.grid
     lam = scal_ref[0, 2]  # softmin temperature
+    seeds = (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2])
 
     @pl.when(i == 0)
     def _():
@@ -1291,7 +1302,7 @@ def _fused_solve_kernel(
 
     @pl.when(i < nk)
     def _():  # ---- phase A: rollout costs for tile i
-        S = _rollout_phase_S(i, ints_ref, scal_ref, u_ref, p_ref, plan)
+        S = _rollout_phase_S(i, seeds, scal_ref, u_ref, p_ref, plan)
         s_ref[:, :] = S
         sw_scr[:, pl.ds(pl.multiple_of(i * KB, LANE), KB)] = S
 
@@ -1324,7 +1335,7 @@ def _fused_solve_kernel(
         j = i - nk - 1
         w = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]  # (G, KB)
         acc_scr[:, :] += _update_phase_acc(
-            j, w, ints_ref, scal_ref, u_ref, p_ref, plan
+            j, w, seeds, scal_ref, u_ref, p_ref, plan
         )
 
         @pl.when(i == 2 * nk)
@@ -1393,3 +1404,159 @@ def pallas_fused_solve_core(
     if plan.anti:
         S = S[anti_rank_perm(plan)]  # rank order: real rollouts occupy [:K]
     return S, dU[: plan.A, : plan.T].T
+
+
+def _fleet_fused_solve_kernel(
+    ints_ref,   # SMEM (R, 4) int32: per-robot [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)] (shared)
+    u_ref,      # VMEM (1, SUB, Tpad): robot r's nominal U block
+    p_ref,      # VMEM (1, SUB, NP): robot r's family parameter pack
+    s_ref,      # out VMEM (1, G, KB) blocks: robot r's per-rollout costs
+    du_ref,     # out VMEM (1, SUB, Tpad): robot r's ΔU
+    sw_scr,     # VMEM scratch (G, Kpg): S/weights — re-used by every robot
+    acc_scr,    # VMEM scratch (SUB, Tpad): ΔU accumulator, zeroed per robot
+    *, plan: PallasPlan,
+):
+    """The fleet solve: grid (R, 2·nk+1) — for each robot r, the SAME
+    [A-tiles | softmin | B-tiles] phase sequence as :func:`_fused_solve_kernel`,
+    through the SAME phase bodies. All per-robot data (x0, U, goal, seed)
+    arrives via BlockSpec index maps on axis 0 / the SMEM seed row, so the
+    phase math is untouched; the scratch buffers are recycled robot to robot
+    (each robot fully overwrites sw_scr in its phase A and re-zeroes acc_scr
+    at its i == 0). This is what makes the fused backend fleet-capable where
+    `jax.vmap` cannot be (the grid axis IS the batch axis)."""
+    r, i = pl.program_id(0), pl.program_id(1)
+    KB, nk = plan.KB, plan.grid
+    lam = scal_ref[0, 2]
+    seeds = (ints_ref[r, 0], ints_ref[r, 1], ints_ref[r, 2])
+    u_all, p = u_ref[0], p_ref[0]
+
+    @pl.when(i == 0)
+    def _():
+        du_ref[0] = jnp.zeros_like(acc_scr)
+        acc_scr[:, :] = jnp.zeros_like(acc_scr)
+
+    @pl.when(i < nk)
+    def _():  # ---- phase A: rollout costs for robot r, tile i
+        S = _rollout_phase_S(i, seeds, scal_ref, u_all, p, plan)
+        s_ref[0] = S
+        sw_scr[:, pl.ds(pl.multiple_of(i * KB, LANE), KB)] = S
+
+    @pl.when(i == nk)
+    def _():  # ---- softmin in place (robot-local: S → w)
+        def min_chunk(j, m):
+            c = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]
+            return jnp.minimum(m, jnp.min(c))
+
+        beta = jax.lax.fori_loop(0, nk, min_chunk, jnp.float32(BIG))
+
+        def exp_chunk(j, eta):
+            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
+            e = jnp.exp(-(sw_scr[:, idx] - beta) / lam)
+            sw_scr[:, idx] = e
+            return eta + jnp.sum(e)
+
+        eta = jax.lax.fori_loop(0, nk, exp_chunk, jnp.float32(0.0))
+        inv_eta = 1.0 / eta
+
+        def scale_chunk(j, _):
+            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
+            sw_scr[:, idx] = sw_scr[:, idx] * inv_eta
+            return 0
+
+        jax.lax.fori_loop(0, nk, scale_chunk, 0)
+
+    @pl.when(i > nk)
+    def _():  # ---- phase B: ΔU accumulation for robot r, tile j = i − nk − 1
+        j = i - nk - 1
+        w = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]  # (G, KB)
+        acc_scr[:, :] += _update_phase_acc(
+            j, w, seeds, scal_ref, u_all, p, plan
+        )
+
+        @pl.when(i == 2 * nk)
+        def _():
+            du_ref[0] = acc_scr[:, :]
+
+
+def pallas_fleet_solve_core(
+    dyn,                 # dynamics shared by the fleet (a registered family)
+    cost,                # matching cost; leaves may carry a leading R axis
+    xs: jax.Array,       # (R, s) per-robot states
+    Us: jax.Array,       # (R, T, a) per-robot nominal sequences
+    keys: jax.Array,     # (R,) per-robot PRNG keys
+    sigma: jax.Array,
+    lambda_: jax.Array,
+    *,
+    K: int,              # rollouts PER ROBOT
+    antithetic: bool = False,
+    ou_beta: float = 0.0,
+    testmode: bool = False,
+    interpret: bool = False,
+    cost_axes=None,      # vmap in_axes pytree for `cost` (None = shared)
+) -> tuple[jax.Array, jax.Array]:
+    """R independent MPPI solve cores in ONE kernel launch:
+    (S (R, Kpad), ΔU (R, T, a)). The TPU-native fleet mode — R robots × K
+    rollouts with zero HBM noise traffic, where the scan fleet (`jax.vmap`)
+    materializes R·T·K·a noise floats. Per-robot goals ride the cost pytree
+    exactly as in :class:`mppi_gpu_tpu.batched.BatchedMPPIController`
+    (pass its vmap axes as `cost_axes`). Single-chip path."""
+    R, T, A = Us.shape
+    fam_name = family_for(dyn, cost)
+    plan = make_plan(
+        K, T, A, antithetic, ou_beta, testmode,
+        family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
+    )
+    if cost_axes is None:
+        cost_axes = jax.tree_util.tree_map(lambda _: None, cost)
+
+    def pack1(c, x0, U, key):
+        return pack_inputs(
+            dyn, c, x0, U, key, sigma, plan,
+            softmin_lambda=lambda_, ou_beta=ou_beta,
+        )
+
+    ints, scal, u, p = jax.vmap(pack1, in_axes=(cost_axes, 0, 0, 0))(
+        cost, xs, Us, keys
+    )
+    ints = ints.reshape(R, 4)
+    scal = scal[0]  # (1, 5): dt/λ/OU are fleet-wide by construction
+    NP = _np_cols(FAMILIES[plan.family], plan)
+    nk = plan.grid
+    S, dU = pl.pallas_call(
+        functools.partial(_fleet_fused_solve_kernel, plan=plan),
+        grid=(R, 2 * nk + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, NP), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            # phase-A tiles write their block; later phases re-flush robot
+            # r's last block with identical content (harmless, as in the
+            # single-robot fused kernel)
+            pl.BlockSpec(
+                (1, plan.G, plan.KB),
+                lambda r, i: (r, 0, jnp.minimum(i, plan.grid - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, plan.G, plan.Kpg), jnp.float32),
+            jax.ShapeDtypeStruct((R, SUB, plan.Tpad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((plan.G, plan.Kpg), jnp.float32),
+            pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),  # sequential: scratch reuse
+        ),
+        interpret=_INTERPRET if interpret else False,
+    )(ints, scal, u, p)
+    S = S.reshape(R, plan.Kpad)
+    if plan.anti:
+        S = S[:, anti_rank_perm(plan)]  # rank order per robot
+    return S, jnp.swapaxes(dU[:, :A, :T], 1, 2)  # (R, T, a)

@@ -419,4 +419,25 @@ d0 = _np.linalg.norm(ep.xs[0][:3] - _np.array([1.0, 0.5, 0.75]))
 d1 = _np.linalg.norm(ep.xs[-1][:3] - _np.array([1.0, 0.5, 0.75]))
 assert d1 < d0, f"episode-jit(pallas) made no goal progress: {d0} -> {d1}"
 
+# --- fleet fused kernel on hardware: grid axis = robot axis. Per-robot
+# results must match independent single-robot fused solves with the same
+# keys (identical seeding -> identical on-chip PRNG streams).
+from mppi_gpu_tpu.batched import BatchedMPPIController
+
+ctrl_fleet = BatchedMPPIController(cfg_q3, 2, rollout_backend="pallas")
+xs_f = jnp.stack([x0_q3, x0_q3.at[0].add(0.5)])
+Us_f = ctrl_fleet.init_action_seqs()
+keys_f = ctrl_fleet.init_keys()
+res_f = ctrl_fleet.solve_batch(xs_f, Us_f, keys_f)
+ctrl_single = MPPIController(cfg_q3, rollout_backend="pallas")
+for r in range(2):
+    res_r = ctrl_single.solve(xs_f[r], Us_f[r], keys_f[r])
+    assert jnp.allclose(res_f.action[r], res_r.action, rtol=1e-4, atol=1e-6), (
+        f"fleet robot {r} action diverges from the single-robot fused solve: "
+        f"{res_f.action[r]} vs {res_r.action}"
+    )
+    assert jnp.allclose(res_f.info.costs[r], res_r.info.costs, rtol=1e-4), (
+        f"fleet robot {r} costs diverge"
+    )
+
 print("PALLAS_TPU_OK")

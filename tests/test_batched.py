@@ -92,3 +92,69 @@ def test_per_robot_goals_rejected_for_builtin_target_costs():
     cfg = load_config("configs/pendulum.yaml").replace(samples=64, horizon=10)
     with pytest.raises(TypeError, match="goal"):
         BatchedMPPIController(cfg, 2, goals=jnp.zeros((2, 2)))
+
+
+# ---------------------------------------------------------------------------
+# Fleet fused kernel (pallas backend): grid axis = robot axis
+
+
+def _fleet_vs_single_pallas(cfg, B, goals=None):
+    """Fleet fused kernel vs B independent single-robot fused solves with the
+    same keys: both run the same phase bodies and seed from the key the same
+    way, so per-robot results must agree to float tolerance."""
+    import dataclasses as dc
+
+    ctrl_b = BatchedMPPIController(
+        cfg, B, goals=goals, rollout_backend="pallas-interpret", testmode=True
+    )
+    xs = jnp.stack([jnp.full((cfg.state_dim,), 0.05 * i) for i in range(B)])
+    if cfg.state_dim == 13:  # quadrotor3d: states need a unit quaternion
+        q = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+        xs = jax.vmap(lambda x: x.at[3:7].set(q))(xs)
+    Us = ctrl_b.init_action_seqs()
+    keys = ctrl_b.init_keys()
+    res_b = ctrl_b.solve_batch(xs, Us, keys)
+    assert res_b.action.shape == (B, cfg.action_dim)
+    assert res_b.info.costs.shape == (B, cfg.samples)
+
+    for i in range(B):
+        ctrl_1 = MPPIController(
+            cfg, rollout_backend="pallas-interpret", testmode=True
+        )
+        if goals is not None:
+            ctrl_1.cost = dc.replace(ctrl_1.cost, goal=goals[i])
+        res_1 = ctrl_1.solve(xs[i], Us[i], keys[i])
+        np.testing.assert_allclose(
+            np.asarray(res_b.action[i]), np.asarray(res_1.action),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_b.u_next[i]), np.asarray(res_1.u_next),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_b.info.costs[i]), np.asarray(res_1.info.costs),
+            rtol=1e-4,
+        )
+
+
+def test_fleet_pallas_matches_single_pallas():
+    cfg = load_config(CFG)
+    _fleet_vs_single_pallas(cfg, B=3)
+
+
+def test_fleet_pallas_per_robot_goals():
+    cfg = load_config("configs/point_mass2d.yaml").replace(samples=300, horizon=15)
+    goals = jnp.asarray([[1.0, 0.5, 0.0, 0.0], [-0.5, 1.0, 0.0, 0.0]])
+    _fleet_vs_single_pallas(cfg, B=2, goals=goals)
+
+
+def test_fleet_pallas_quadrotor3d():
+    """Largest family through the fleet kernel: A=4 (G=2), 13 state tiles."""
+    cfg = load_config("configs/quadrotor3d.yaml").replace(samples=300, horizon=10)
+    _fleet_vs_single_pallas(cfg, B=2)
+
+
+def test_fleet_pallas_antithetic_and_ou():
+    cfg = load_config(CFG).replace(samples=64, antithetic=True, noise_beta=0.5)
+    _fleet_vs_single_pallas(cfg, B=2)
