@@ -143,11 +143,9 @@ def bench_x0(family: str) -> "jnp.ndarray":
     return jnp.asarray([0.1, -0.2, 0.05, 0.0, 0.0, 0.0], jnp.float32)
 
 
-def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
-                antithetic: bool = False, mesh=None, mlp: bool = False,
-                reps: int = 5, testmode: bool = False,
-                family: str = "lti") -> dict:
-    """Times one MPPI solve by differencing two chained-scan lengths.
+def _chained_stats(make_chain, chain_args, iters: int, warmup: int,
+                   reps: int) -> dict:
+    """Times one solve by differencing two chained-scan lengths.
 
     Host wall-clock around a single dispatch is unusable on a tunneled TPU
     (result fetch costs ~27 ms RTT and block_until_ready returns early), so:
@@ -164,6 +162,37 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
 
     import numpy as np
 
+    n_small, n_big = max(warmup, 4), max(warmup, 4) + iters
+    small, big = make_chain(n_small), make_chain(n_big)
+
+    def timed(f) -> float:
+        t0 = time.perf_counter()
+        v = float(f(*chain_args))  # float() forces a real device round-trip
+        assert np.isfinite(v)
+        return time.perf_counter() - t0
+
+    timed(small), timed(big)  # compile + warm
+    ests = []
+    for _ in range(reps):
+        ts, tb = timed(small), timed(big)
+        ests.append((tb - ts) * 1e3 / (n_big - n_small))
+    ests = sorted(ests)
+    return {
+        "p50_ms": float(np.median(ests)),
+        "min_ms": max(ests[0], 0.0),
+        "max_ms": ests[-1],
+        "spread_ms": ests[-1] - ests[0],
+        "reps": reps,
+        "estimates_ms": [round(e, 4) for e in ests],
+    }
+
+
+def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
+                antithetic: bool = False, mesh=None, mlp: bool = False,
+                reps: int = 5, testmode: bool = False,
+                family: str = "lti") -> dict:
+    """One-robot solve latency via the chained-scan differencing harness
+    (:func:`_chained_stats`)."""
     ctrl = build(K, T, backend, antithetic, mesh=mesh, mlp=mlp,
                  testmode=testmode, family=family)
     x = bench_x0(family)
@@ -185,29 +214,7 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
 
         return chain
 
-    n_small, n_big = max(warmup, 4), max(warmup, 4) + iters
-    small, big = make_chain(n_small), make_chain(n_big)
-
-    def timed(f) -> float:
-        t0 = time.perf_counter()
-        v = float(f(x, U0))  # float() forces a real device round-trip
-        assert np.isfinite(v)
-        return time.perf_counter() - t0
-
-    timed(small), timed(big)  # compile + warm
-    ests = []
-    for _ in range(reps):
-        ts, tb = timed(small), timed(big)
-        ests.append((tb - ts) * 1e3 / (n_big - n_small))
-    ests = sorted(ests)
-    return {
-        "p50_ms": float(np.median(ests)),
-        "min_ms": max(ests[0], 0.0),
-        "max_ms": ests[-1],
-        "spread_ms": ests[-1] - ests[0],
-        "reps": reps,
-        "estimates_ms": [round(e, 4) for e in ests],
-    }
+    return _chained_stats(make_chain, (x, U0), iters, warmup, reps)
 
 
 def _fmt(s: dict) -> str:
@@ -354,11 +361,7 @@ def bench_fleet_solve(R: int, K: int, T: int, backend: str, iters: int,
                       warmup: int, family: str = "lti", reps: int = 5,
                       antithetic: bool = False) -> dict:
     """Times one whole-fleet solve (R robots x K rollouts each) with the same
-    chained-scan differencing as :func:`bench_solve`."""
-    import time
-
-    import numpy as np
-
+    chained-scan differencing harness as :func:`bench_solve`."""
     from mppi_gpu_tpu.batched import BatchedMPPIController
 
     cfg = make_cfg(K, T, family, antithetic)
@@ -388,30 +391,9 @@ def bench_fleet_solve(R: int, K: int, T: int, backend: str, iters: int,
 
         return chain
 
-    n_small, n_big = max(warmup, 4), max(warmup, 4) + iters
-    small, big = make_chain(n_small), make_chain(n_big)
-
-    def timed(f) -> float:
-        t0 = time.perf_counter()
-        v = float(f(xs, Us0))
-        assert np.isfinite(v)
-        return time.perf_counter() - t0
-
-    timed(small), timed(big)
-    ests = []
-    for _ in range(reps):
-        ts, tb = timed(small), timed(big)
-        ests.append((tb - ts) * 1e3 / (n_big - n_small))
-    ests = sorted(ests)
-    return {
-        "p50_ms": float(np.median(ests)),
-        "min_ms": max(ests[0], 0.0),
-        "max_ms": ests[-1],
-        "spread_ms": ests[-1] - ests[0],
-        "reps": reps,
-        "estimates_ms": [round(e, 4) for e in ests],
-        "backend": ctrl.rollout_backend,
-    }
+    s = _chained_stats(make_chain, (xs, Us0), iters, warmup, reps)
+    s["backend"] = ctrl.rollout_backend
+    return s
 
 
 def run_fleet(args) -> dict:

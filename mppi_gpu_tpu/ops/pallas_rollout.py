@@ -1268,6 +1268,36 @@ def pallas_noise_dump(
     return eps[:, :K, :]
 
 
+def _softmin_phase(sw_scr, lam, plan: PallasPlan):
+    """In-place softmin over the cost scratch: S → w = exp(−(S−β)/λ)/η,
+    with β and η reduced chunk-wise over the nk lane chunks. Shared by the
+    fused kernel and the fleet kernel — like the A/B phase bodies, the
+    execution modes must not be able to drift."""
+    KB, nk = plan.KB, plan.grid
+
+    def min_chunk(j, m):
+        c = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]
+        return jnp.minimum(m, jnp.min(c))
+
+    beta = jax.lax.fori_loop(0, nk, min_chunk, jnp.float32(BIG))
+
+    def exp_chunk(j, eta):
+        idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
+        e = jnp.exp(-(sw_scr[:, idx] - beta) / lam)
+        sw_scr[:, idx] = e
+        return eta + jnp.sum(e)
+
+    eta = jax.lax.fori_loop(0, nk, exp_chunk, jnp.float32(0.0))
+    inv_eta = 1.0 / eta
+
+    def scale_chunk(j, _):
+        idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
+        sw_scr[:, idx] = sw_scr[:, idx] * inv_eta
+        return 0
+
+    jax.lax.fori_loop(0, nk, scale_chunk, 0)
+
+
 def _fused_solve_kernel(
     ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
@@ -1308,27 +1338,7 @@ def _fused_solve_kernel(
 
     @pl.when(i == nk)
     def _():  # ---- softmin in place: S → w = exp(−(S−β)/λ)/η
-        def min_chunk(j, m):
-            c = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]
-            return jnp.minimum(m, jnp.min(c))
-
-        beta = jax.lax.fori_loop(0, nk, min_chunk, jnp.float32(BIG))
-
-        def exp_chunk(j, eta):
-            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
-            e = jnp.exp(-(sw_scr[:, idx] - beta) / lam)
-            sw_scr[:, idx] = e
-            return eta + jnp.sum(e)
-
-        eta = jax.lax.fori_loop(0, nk, exp_chunk, jnp.float32(0.0))
-        inv_eta = 1.0 / eta
-
-        def scale_chunk(j, _):
-            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
-            sw_scr[:, idx] = sw_scr[:, idx] * inv_eta
-            return 0
-
-        jax.lax.fori_loop(0, nk, scale_chunk, 0)
+        _softmin_phase(sw_scr, lam, plan)
 
     @pl.when(i > nk)
     def _():  # ---- phase B: ΔU accumulation for tile j = i − nk − 1
@@ -1444,27 +1454,7 @@ def _fleet_fused_solve_kernel(
 
     @pl.when(i == nk)
     def _():  # ---- softmin in place (robot-local: S → w)
-        def min_chunk(j, m):
-            c = sw_scr[:, pl.ds(pl.multiple_of(j * KB, LANE), KB)]
-            return jnp.minimum(m, jnp.min(c))
-
-        beta = jax.lax.fori_loop(0, nk, min_chunk, jnp.float32(BIG))
-
-        def exp_chunk(j, eta):
-            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
-            e = jnp.exp(-(sw_scr[:, idx] - beta) / lam)
-            sw_scr[:, idx] = e
-            return eta + jnp.sum(e)
-
-        eta = jax.lax.fori_loop(0, nk, exp_chunk, jnp.float32(0.0))
-        inv_eta = 1.0 / eta
-
-        def scale_chunk(j, _):
-            idx = pl.ds(pl.multiple_of(j * KB, LANE), KB)
-            sw_scr[:, idx] = sw_scr[:, idx] * inv_eta
-            return 0
-
-        jax.lax.fori_loop(0, nk, scale_chunk, 0)
+        _softmin_phase(sw_scr, lam, plan)
 
     @pl.when(i > nk)
     def _():  # ---- phase B: ΔU accumulation for robot r, tile j = i − nk − 1
