@@ -50,15 +50,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="resume from checkpoint .npz")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--verbose", "-v", action="store_true")
+    p.add_argument(
+        "--view", action="store_true",
+        help="live interactive MuJoCo viewer (needs --world mujoco and a "
+        "display; the reference's GLFW window analog)",
+    )
     p.add_argument("--profile", default=None, help="jax.profiler trace dir")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
+    from mppi_gpu_tpu.config import ConfigError
+
     args = build_parser().parse_args(argv)
     try:
         return _main(args)
     except FileNotFoundError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    except ConfigError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
@@ -99,6 +109,12 @@ def _run(args, cfg, ctrl) -> int:
     from mppi_gpu_tpu.runner import run_closed_loop, run_episode_jit
     from mppi_gpu_tpu.utils.timing import profiler_trace
 
+    if args.view and args.jit_episode:
+        from mppi_gpu_tpu.config import ConfigError
+
+        raise ConfigError(
+            "--view needs the interactive host loop; drop --jit-episode"
+        )
     with profiler_trace(args.profile):
         if args.jit_episode:
             result = run_episode_jit(ctrl, num_steps=args.max_steps)
@@ -114,6 +130,7 @@ def _run(args, cfg, ctrl) -> int:
                 checkpoint_path=args.checkpoint,
                 checkpoint_every=args.checkpoint_every if args.checkpoint else None,
                 resume_from=args.resume,
+                view=args.view,
             )
 
     final = result.final_state

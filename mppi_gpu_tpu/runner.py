@@ -130,6 +130,40 @@ class _JaxWorldAdapter:
         self.state = self.world.from_x(jnp.asarray(x, jnp.float32), time)
 
 
+def _launch_viewer(world) -> Any:
+    """Open the live interactive viewer over the real MuJoCo plant — the
+    analog of the reference's GLFW window + mjv/mjr scene and camera
+    (reference src/PointMassEnv.cpp:65-92, 141-169, 200-264; here MuJoCo's
+    own `mujoco.viewer` supplies the window, render loop and mouse/keyboard
+    camera). Needs the mujoco world backend and a display; raises
+    ConfigError with a actionable message otherwise. Module-level so tests
+    can substitute a stub handle."""
+    from mppi_gpu_tpu.config import ConfigError
+
+    if not (hasattr(world, "m") and hasattr(world, "d")):
+        raise ConfigError(
+            "--view drives the live MuJoCo viewer and needs the real engine "
+            "as the plant: add --world mujoco"
+        )
+    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
+        # pre-check: glfwInit on a headless host ABORTS the process rather
+        # than raising, so never reach it without a display
+        raise ConfigError(
+            "--view needs a display (no DISPLAY/WAYLAND_DISPLAY set). "
+            "For headless replay, record with -t and use scripts/animate.py"
+        )
+    try:
+        import mujoco.viewer as _mj_viewer
+
+        return _mj_viewer.launch_passive(world.m, world.d)
+    except Exception as e:  # noqa: BLE001 — GLFW/EGL init failures
+        raise ConfigError(
+            f"could not open the live viewer (needs a working GL display): "
+            f"{e}. For headless replay, record with -t and use "
+            "scripts/animate.py"
+        ) from e
+
+
 def run_closed_loop(
     ctrl: MPPIController,
     *,
@@ -144,6 +178,7 @@ def run_closed_loop(
     checkpoint_every: int | None = None,
     resume_from: str | os.PathLike | None = None,
     validate: bool = True,
+    view: bool = False,
 ) -> EpisodeResult:
     """Interactive closed loop (the reference's main loop, src/main.cu:326-374).
 
@@ -155,6 +190,7 @@ def run_closed_loop(
     resume, the returned EpisodeResult covers only the resumed suffix."""
     params = world_params or params_for_config(ctrl.cfg)
     world = _make_world(ctrl.cfg, params, world_backend)
+    viewer = _launch_viewer(world) if view else None
 
     U = ctrl.init_action_seq()
     key = ctrl.init_key()
@@ -174,75 +210,98 @@ def run_closed_loop(
     us: list[np.ndarray] = []
     times: list[float] = []
 
-    limit = max_steps if max_steps is not None else params.num_control_steps() + 5
-    while step < limit:
-        if (
-            checkpoint_path is not None
-            and checkpoint_every
-            and step % checkpoint_every == 0
-        ):
-            from mppi_gpu_tpu.io.checkpoint import save_checkpoint
+    import contextlib
 
-            save_checkpoint(
-                checkpoint_path, step=step, U=U, key=key,
-                x=xs[-1], time=world.time, cfg=ctrl.cfg,
-            )
-        x = jnp.asarray(xs[-1])
-        U_prev = U
-        is_dump = bool(step_dump_every and step % step_dump_every == 0 and step_dump_dir)
-        if is_dump:
-            # Dump steps run solve_debug INSTEAD of the hot-path solve — it
-            # is backend-faithful (scan reproduces the threefry stream,
-            # pallas replays the on-chip PRNG stream via the noise-dump
-            # kernel), so the CSV documents the exact solve that drives the
-            # robot — the analog of the reference's bit-faithful get_inf
-            # download of the executed buffers (src/point_mass.cu:236-262,
-            # src/main.cu:355-367). Excluded from the solve timer: it
-            # materializes eps + the (T+1, K, s) history the hot path never
-            # pays for. (Under a sharded controller the dump documents the
-            # single-chip-equivalent solve instead; the sharded noise layout
-            # is per-device.)
-            res, eps, traj = ctrl.solve_debug(
-                x, U_prev, jax.random.fold_in(key, step)
-            )
-            res.action.block_until_ready()
-            write_step_dump_csv(
-                os.path.join(step_dump_dir, f"step_{step:05d}.csv"),
-                np.asarray(traj), np.asarray(eps),
-                np.asarray(res.info.u_seq), np.asarray(U_prev),
-                np.asarray(res.info.weights), np.asarray(res.info.costs),
-            )
-        else:
-            with timer.measure():
-                res = ctrl.solve_auto(x, U, key, step)
+    with contextlib.ExitStack() as _stack:
+        if viewer is not None:
+            _stack.callback(viewer.close)
+        _last_wall: float | None = None
+        limit = max_steps if max_steps is not None else params.num_control_steps() + 5
+        while step < limit:
+            if (
+                checkpoint_path is not None
+                and checkpoint_every
+                and step % checkpoint_every == 0
+            ):
+                from mppi_gpu_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path, step=step, U=U, key=key,
+                    x=xs[-1], time=world.time, cfg=ctrl.cfg,
+                )
+            x = jnp.asarray(xs[-1])
+            U_prev = U
+            is_dump = bool(step_dump_every and step % step_dump_every == 0 and step_dump_dir)
+            if is_dump:
+                # Dump steps run solve_debug INSTEAD of the hot-path solve — it
+                # is backend-faithful (scan reproduces the threefry stream,
+                # pallas replays the on-chip PRNG stream via the noise-dump
+                # kernel), so the CSV documents the exact solve that drives the
+                # robot — the analog of the reference's bit-faithful get_inf
+                # download of the executed buffers (src/point_mass.cu:236-262,
+                # src/main.cu:355-367). Excluded from the solve timer: it
+                # materializes eps + the (T+1, K, s) history the hot path never
+                # pays for. (Under a sharded controller the dump documents the
+                # single-chip-equivalent solve instead; the sharded noise layout
+                # is per-device.)
+                res, eps, traj = ctrl.solve_debug(
+                    x, U_prev, jax.random.fold_in(key, step)
+                )
                 res.action.block_until_ready()
-        action = np.asarray(res.action)
-        U = res.u_next
-        if validate:
-            # free on the happy path: `action` is already on the host, and the
-            # (K,) diagnostics are only fetched after a failure is detected.
-            # Guards the result that actually advances the world, dump or not.
-            from mppi_gpu_tpu.utils.guard import check_solve
+                write_step_dump_csv(
+                    os.path.join(step_dump_dir, f"step_{step:05d}.csv"),
+                    np.asarray(traj), np.asarray(eps),
+                    np.asarray(res.info.u_seq), np.asarray(U_prev),
+                    np.asarray(res.info.weights), np.asarray(res.info.costs),
+                )
+            else:
+                with timer.measure():
+                    res = ctrl.solve_auto(x, U, key, step)
+                    res.action.block_until_ready()
+            action = np.asarray(res.action)
+            U = res.u_next
+            if validate:
+                # free on the happy path: `action` is already on the host, and the
+                # (K,) diagnostics are only fetched after a failure is detected.
+                # Guards the result that actually advances the world, dump or not.
+                from mppi_gpu_tpu.utils.guard import check_solve
 
-            check_solve(step, action, res.info)
+                check_solve(step, action, res.info)
 
-        done = world.simulate(action)
-        if done:
-            break
-        times.append(world.time)
-        xs.append(world.get_x())
-        us.append(action)
-        if verbose:
-            # per-phase stats — the analog of the reference's _verb device
-            # print kernels (src/mppi_utils.cu:7-105): β, η and the cost
-            # spread for this solve, alongside state/action
-            beta = float(np.asarray(res.info.beta))
-            eta = float(np.asarray(res.info.eta))
-            print(
-                f"[{step:4d}] t={times[-1]:7.3f}  x={xs[-1]}  u={action}  "
-                f"beta={beta:.4g} eta={eta:.4g}"
-            )
-        step += 1
+            done = world.simulate(action)
+            if viewer is not None:
+                # window closed ends the episode, like the reference's
+                # glfwWindowShouldClose check (PointMassEnv.cpp:118)
+                if not viewer.is_running():
+                    break
+                viewer.sync()
+                # real-time pacing (the reference's usleep-to-frame-time loop,
+                # PointMassEnv.cpp:150-161): sleep off whatever remains of the
+                # control period so the window plays at sim speed
+                import time as _time
+
+                now = _time.perf_counter()
+                if _last_wall is not None:
+                    ahead = params.control_period - (now - _last_wall)
+                    if ahead > 0:
+                        _time.sleep(ahead)
+                _last_wall = _time.perf_counter()
+            if done:
+                break
+            times.append(world.time)
+            xs.append(world.get_x())
+            us.append(action)
+            if verbose:
+                # per-phase stats — the analog of the reference's _verb device
+                # print kernels (src/mppi_utils.cu:7-105): β, η and the cost
+                # spread for this solve, alongside state/action
+                beta = float(np.asarray(res.info.beta))
+                eta = float(np.asarray(res.info.eta))
+                print(
+                    f"[{step:4d}] t={times[-1]:7.3f}  x={xs[-1]}  u={action}  "
+                    f"beta={beta:.4g} eta={eta:.4g}"
+                )
+            step += 1
 
     result = EpisodeResult(
         times=np.asarray(times),
