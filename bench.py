@@ -172,19 +172,29 @@ def _chained_stats(make_chain, chain_args, iters: int, warmup: int,
         return time.perf_counter() - t0
 
     timed(small), timed(big)  # compile + warm
-    ests = []
-    for _ in range(reps):
+    ests, discarded = [], 0
+    while len(ests) < reps and discarded < 2 * reps:
         ts, tb = timed(small), timed(big)
-        ests.append((tb - ts) * 1e3 / (n_big - n_small))
-    ests = sorted(ests)
-    return {
+        est = (tb - ts) * 1e3 / (n_big - n_small)
+        if est <= 0.0:
+            # a solve cannot take negative time: the small-chain run hit a
+            # transient stall (tunnel hiccup, host preemption). Discard the
+            # invalid pair and re-measure rather than poisoning the stats.
+            discarded += 1
+            continue
+        ests.append(est)
+    ests = sorted(ests) or [float("nan")]
+    out = {
         "p50_ms": float(np.median(ests)),
-        "min_ms": max(ests[0], 0.0),
+        "min_ms": ests[0],
         "max_ms": ests[-1],
         "spread_ms": ests[-1] - ests[0],
-        "reps": reps,
+        "reps": len(ests),
         "estimates_ms": [round(e, 4) for e in ests],
     }
+    if discarded:
+        out["discarded_reps"] = discarded
+    return out
 
 
 def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
