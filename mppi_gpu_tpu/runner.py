@@ -319,13 +319,14 @@ def run_episode_jit(
     *,
     world_params: WorldParams | None = None,
     num_steps: int | None = None,
+    base_key: jax.Array | None = None,
 ) -> EpisodeResult:
     """Whole-episode jit: `lax.scan` over control cycles; each cycle is one
     MPPI solve + `steps_per_control` physics steps, all on-device."""
     params = world_params or params_for_config(ctrl.cfg)
     world = make_jax_world(ctrl.cfg, params)
     n = num_steps if num_steps is not None else params.num_control_steps()
-    key = ctrl.init_key()
+    key = ctrl.init_key() if base_key is None else base_key
 
     def cycle(carry, step):
         ws, U = carry
@@ -347,6 +348,71 @@ def run_episode_jit(
 
     xs, us, ts = episode(ctrl.init_action_seq())
     x0 = np.asarray(world.reset().x)[None]
+    return EpisodeResult(
+        times=np.asarray(ts),
+        xs=np.concatenate([x0, np.asarray(xs)], axis=0),
+        us=np.asarray(us),
+    )
+
+
+def run_fleet_episode_jit(
+    ctrl,  # BatchedMPPIController
+    *,
+    world_params: WorldParams | None = None,
+    num_steps: int | None = None,
+    xs0: jax.Array | None = None,  # (R, s) per-robot initial states
+) -> EpisodeResult:
+    """Whole-FLEET episode jit: R independent closed loops — R solves + R
+    world steps per control cycle — as ONE `lax.scan` under jit. Composes
+    the two TPU-first modes (whole-episode jit × fleet solve): with the
+    fleet fused kernel inside the scan, an entire multi-robot episode runs
+    on-device with zero host round-trips. No reference analog (the
+    reference is one robot, one GPU, host-driven).
+
+    Returns an EpisodeResult whose xs/us carry a robot axis:
+    xs (N+1, R, s), us (N, R, a); times is the shared sim clock."""
+    params = world_params or params_for_config(ctrl.cfg)
+    world = make_jax_world(ctrl.cfg, params)
+    n = num_steps if num_steps is not None else params.num_control_steps()
+    R = ctrl.n_robots
+    keys0 = ctrl.init_keys()
+
+    ws_single = world.reset()
+    ws0 = jax.tree_util.tree_map(
+        lambda leaf: jnp.broadcast_to(leaf, (R,) + jnp.shape(leaf)), ws_single
+    )
+    if xs0 is not None:
+        xs0 = jnp.asarray(xs0, jnp.float32)
+        if xs0.shape != (R, ctrl.cfg.state_dim):
+            raise ValueError(
+                f"xs0 must be ({R}, {ctrl.cfg.state_dim}), got {xs0.shape}"
+            )
+        t0 = ws_single.time
+        states = [world.from_x(xs0[r], t0) for r in range(R)]
+        ws0 = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *states)
+
+    sim_batch = jax.vmap(world.simulate)
+    # WorldState.x is a property written for a SINGLE state (it concatenates
+    # leaves along axis 0), so extract the batched state vector under vmap
+    x_of = jax.vmap(lambda ws: ws.x)
+
+    def cycle(carry, step):
+        ws, Us = carry
+        keys = jax.vmap(jax.random.fold_in, (0, None))(keys0, step)
+        res = ctrl._solve_batch(  # scan-vmap or the fleet fused kernel
+            ctrl.dynamics, ctrl.cost, x_of(ws), Us, keys,
+            ctrl.sigma, ctrl.lambda_, ctrl.max_a,
+        )
+        ws_new, _ = sim_batch(ws, res.action)
+        return (ws_new, res.u_next), (x_of(ws_new), res.action, ws_new.time[0])
+
+    @jax.jit
+    def episode(Us0, ws0):
+        (_, _), (xs, us, ts) = jax.lax.scan(cycle, (ws0, Us0), jnp.arange(n))
+        return xs, us, ts
+
+    xs, us, ts = episode(ctrl.init_action_seqs(), ws0)
+    x0 = np.asarray(x_of(ws0))[None]
     return EpisodeResult(
         times=np.asarray(ts),
         xs=np.concatenate([x0, np.asarray(xs)], axis=0),

@@ -87,3 +87,49 @@ def test_profiler_trace_writes_files(tmp_path):
         os.path.join(r, f) for r, _, fs in os.walk(logdir) for f in fs
     ]
     assert found, "profiler trace directory is empty"
+
+
+def test_fleet_episode_jit_matches_per_robot_episode_jit():
+    """The whole-fleet episode scan must reproduce, robot for robot, the
+    single-robot episode jit driven with the same per-robot key (the fleet
+    is R independent problems — no cross-robot coupling may creep in)."""
+    import jax.numpy as jnp
+
+    from mppi_gpu_tpu.batched import BatchedMPPIController
+    from mppi_gpu_tpu.runner import run_fleet_episode_jit
+
+    cfg = load_config(CFG)
+    R = 2
+    ctrl_b = BatchedMPPIController(cfg, R, rollout_backend="scan")
+    xs0 = jnp.stack([jnp.zeros(cfg.state_dim), jnp.full((cfg.state_dim,), 0.1)])
+    res_b = run_fleet_episode_jit(ctrl_b, num_steps=6, xs0=xs0)
+    assert res_b.xs.shape == (7, R, cfg.state_dim)
+    assert res_b.us.shape == (6, R, cfg.action_dim)
+
+    keys0 = ctrl_b.init_keys()
+    for r in range(R):
+        ctrl_1 = MPPIController(cfg, rollout_backend="scan")
+        # same starting state: robot r=0 starts at the world's reset state
+        if r == 0:
+            res_1 = run_episode_jit(ctrl_1, num_steps=6, base_key=keys0[0])
+            np.testing.assert_allclose(
+                res_b.xs[:, 0], res_1.xs, rtol=1e-5, atol=1e-6
+            )
+            np.testing.assert_allclose(
+                res_b.us[:, 0], res_1.us, rtol=1e-5, atol=1e-6
+            )
+
+
+def test_fleet_episode_jit_pallas_interpret():
+    """Fleet episode × fleet fused kernel: the two TPU-first modes compose
+    (interpret+testmode on CPU; the real-PRNG path runs on hardware)."""
+    from mppi_gpu_tpu.batched import BatchedMPPIController
+    from mppi_gpu_tpu.runner import run_fleet_episode_jit
+
+    cfg = load_config(CFG)
+    ctrl = BatchedMPPIController(
+        cfg, 2, rollout_backend="pallas-interpret", testmode=True
+    )
+    res = run_fleet_episode_jit(ctrl, num_steps=4)
+    assert res.xs.shape[:2] == (5, 2)
+    assert np.all(np.isfinite(res.xs))
