@@ -664,3 +664,59 @@ def test_interpret_testmode_fused_solve():
     sm = softmin_weights(Sf, lam)
     dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :300, :], sm.weights[:300])
     np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Geometry invariants: the plan/rank machinery underlies every kernel's
+# K-masking and antithetic pairing — sweep it over many shapes.
+
+
+@pytest.mark.parametrize("A", [1, 2, 3, 4, 6, 8])
+@pytest.mark.parametrize("K", [2, 8, 100, 256, 1000, 4096, 10_000])
+def test_plan_geometry_invariants(A, K):
+    for anti in (False, True):
+        if anti and K % 2:
+            continue
+        plan = pr.make_plan(K, 7, A, antithetic=anti)
+        assert plan.G == 8 // A
+        assert plan.Kpad >= K
+        gran = 512 if anti else 256
+        assert plan.KB % gran == 0
+        assert plan.Kpg % plan.KB == 0
+        assert plan.Kpad == plan.G * plan.Kpg
+        assert plan.grid == plan.Kpg // plan.KB
+
+
+@pytest.mark.parametrize("A", [1, 3, 4])
+@pytest.mark.parametrize("K", [512, 1000, 4096])
+def test_lane_rank_is_a_bijection_and_perm_inverts_it(A, K):
+    """Across all tiles, _lane_rank must assign every rank 0..Kpad-1 exactly
+    once, and anti_rank_perm must be the lane-order -> rank-order gather
+    that inverts it (pairs (2m, 2m+1) adjacent)."""
+    for anti in (False, True):
+        plan = pr.make_plan(K, 5, A, antithetic=anti)
+        ranks = np.concatenate(
+            [
+                np.asarray(pr._lane_rank(plan, i)).reshape(plan.G, plan.KB)
+                for i in range(plan.grid)
+            ],
+            axis=1,
+        ).reshape(-1)  # flat-lane order: group-major, then tile, then lane
+        assert sorted(ranks.tolist()) == list(range(plan.Kpad))
+        if anti:
+            perm = np.asarray(pr.anti_rank_perm(plan))
+            # value at rank r in rank-ordered vectors comes from lane perm[r]
+            assert sorted(perm.tolist()) == list(range(plan.Kpad))
+            lane_flat = np.empty(plan.Kpad, dtype=np.int64)
+            # invert: lane_flat[lane] = rank
+            for g in range(plan.G):
+                for i in range(plan.grid):
+                    tile = np.asarray(pr._lane_rank(plan, i))[g]
+                    base = g * plan.Kpg + i * plan.KB
+                    lane_flat[base:base + plan.KB] = tile
+            np.testing.assert_array_equal(lane_flat[perm], np.arange(plan.Kpad))
+            # mirror lanes (m, m+KB/2) of the same tile hold adjacent ranks
+            half = plan.KB // 2
+            for g in range(min(plan.G, 2)):
+                t0 = np.asarray(pr._lane_rank(plan, 0))[g]
+                np.testing.assert_array_equal(t0[half:] - t0[:half], 1)
