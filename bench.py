@@ -15,6 +15,7 @@ Modes:
     python bench.py --backend pallas --extra --antithetic
     python bench.py --sharded            # mesh-size sweep {1,2,..} weak+strong
     python bench.py --fleet 16           # 16-robot fleet, scan vs fleet kernel
+    python bench.py --fleet 8 --episode  # whole-fleet 10s episode, one program
     python bench.py --sharded --virtual  # same on an 8-device virtual CPU mesh
     python bench.py --mlp                # MLP-dynamics rollout (MXU workload)
     python bench.py --all                # regenerate the full BASELINE table
@@ -454,6 +455,48 @@ def run_fleet(args) -> dict:
     }
 
 
+def run_fleet_episode(args) -> dict:
+    """Whole-fleet-episode headline: R complete 10 s closed loops (500
+    control cycles x R solves + R world steps at K=3000, T=50) as ONE XLA
+    program, timed warm for both fleet backends."""
+    import time
+
+    from mppi_gpu_tpu.batched import BatchedMPPIController
+    from mppi_gpu_tpu.config import load_config
+    from mppi_gpu_tpu.runner import run_fleet_episode_jit
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_config(os.path.join(root, "configs", "point_mass2d.yaml"))
+    R = args.fleet
+    platform = jax.devices()[0].platform
+    out = {}
+    for backend in ["scan"] + (["pallas"] if platform == "tpu" else []):
+        ctrl = BatchedMPPIController(cfg, R, rollout_backend=backend)
+        run_fleet_episode_jit(ctrl)  # compile + warm
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run_fleet_episode_jit(ctrl)
+            reps.append(time.perf_counter() - t0)
+        n = res.us.shape[0]
+        assert n > 400 and res.us.shape[1] == R
+        out[backend] = sorted(reps)[1]
+        print(
+            f"fleet-episode-jit R={R} [{backend}]: {out[backend]:.3f} s warm "
+            f"for {n} cycles x {R} robots "
+            f"({1e3 * out[backend] / n:.2f} ms/cycle for the whole fleet)",
+            file=sys.stderr,
+        )
+    best = min(out.values())
+    return {
+        "metric": f"fleet_episode_jit_seconds_R{R}_K3000_T50_500cycles",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": None,
+        "per_backend_s": {k: round(v, 4) for k, v in out.items()},
+    }
+
+
 ALL_CASES = [
     # (K, backend, antithetic, iters, family)
     (10_000, "scan", False, 60, "lti"),
@@ -612,6 +655,8 @@ def main() -> int:
 
     if args.sharded:
         out = run_sharded(args)
+    elif args.fleet and args.episode:
+        out = run_fleet_episode(args)
     elif args.fleet:
         out = run_fleet(args)
     elif args.episode:
