@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     p.add_argument("-c", "--config", default="configs/point_mass2d.yaml")
     p.add_argument("-n", "--robots", type=int, default=8)
     p.add_argument("--steps", type=int, default=120)
+    p.add_argument("--jit", action="store_true",
+                   help="run the whole fleet episode as ONE XLA program "
+                   "(run_fleet_episode_jit) instead of the host loop")
     args = p.parse_args(argv)
 
     cfg = load_config(args.config)
@@ -43,6 +46,19 @@ def main(argv=None) -> int:
 
     fleet = BatchedMPPIController(cfg, B, goals=jnp.asarray(goals))
     world = make_jax_world(cfg)
+
+    if args.jit:
+        from mppi_gpu_tpu.runner import run_fleet_episode_jit
+
+        t0 = time.perf_counter()
+        res = run_fleet_episode_jit(fleet, num_steps=args.steps)
+        dt = time.perf_counter() - t0
+        final = np.asarray(res.xs[-1])
+        dist = np.linalg.norm(final[:, :2] - goals[:, :2], axis=1)
+        print(f"{B} robots x {args.steps} steps as ONE XLA program in "
+              f"{dt:.1f}s (compile+run)")
+        print(f"mean distance to goal: {dist.mean():.3f} m (started at 0.80)")
+        return 0 if dist.mean() < 0.75 else 1
 
     @jax.jit
     def world_step(ws, u):

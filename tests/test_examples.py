@@ -40,6 +40,14 @@ def test_fleet_smoke(capsys):
     assert rc in (0, 1)  # 3 steps can't make meaningful progress; both valid
 
 
+def test_fleet_jit_smoke(capsys):
+    mod = _load("fleet.py")
+    rc = mod.main(["-n", "2", "--steps", "3", "--jit"])
+    out = capsys.readouterr().out
+    assert "ONE XLA program" in out
+    assert rc in (0, 1)
+
+
 def test_obstacle_nav_smoke(tmp_path, capsys):
     mod = _load("obstacle_nav.py")
     rc = mod.main(["-o", str(tmp_path / "nav.png"), "--steps", "30"])
