@@ -184,7 +184,14 @@ def _chained_stats(make_chain, chain_args, iters: int, warmup: int,
             discarded += 1
             continue
         ests.append(est)
-    ests = sorted(ests) or [float("nan")]
+    if not ests:
+        # fail loudly rather than emitting NaN statistics into the JSON
+        # line / BASELINE table; the supervisor retries in a fresh process
+        raise RuntimeError(
+            f"no valid paired estimates after {discarded} discarded pairs "
+            "(persistently stalled runtime?)"
+        )
+    ests = sorted(ests)
     out = {
         "p50_ms": float(np.median(ests)),
         "min_ms": ests[0],
@@ -327,41 +334,58 @@ def run_sharded(args) -> dict:
     }
 
 
+def _timed_episode_per_backend(make_ctrl, run_fn):
+    """Warm-median episode timing shared by the single-robot and fleet
+    modes: per backend, one compile+warm call, then the median of 3 timed
+    reps. `run_fn(ctrl)` must hit the jitted-episode cache on repeat calls
+    (runner caches the program per controller) — the reps time execution,
+    not retracing."""
+    import time
+
+    platform = jax.devices()[0].platform
+    out, last_res = {}, None
+    for backend in ["scan"] + (["pallas"] if platform == "tpu" else []):
+        ctrl = make_ctrl(backend)
+        run_fn(ctrl)  # compile + warm
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            last_res = run_fn(ctrl)
+            reps.append(time.perf_counter() - t0)
+        out[backend] = sorted(reps)[1]
+    return out, last_res
+
+
+def _episode_cfg():
+    from mppi_gpu_tpu.config import load_config
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    return load_config(os.path.join(root, "configs", "point_mass2d.yaml"))
+
+
 def run_episode(args) -> dict:
     """Whole-episode-jit headline: the full 10 s closed loop (500 control
     cycles of solve + world physics at K=3000, T=50) as ONE XLA program,
     timed warm, for both rollout backends."""
-    import time
-
-    from mppi_gpu_tpu.config import load_config
     from mppi_gpu_tpu.controller import MPPIController
     from mppi_gpu_tpu.runner import run_episode_jit
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_config(os.path.join(root, "configs", "point_mass2d.yaml"))
-    out = {}
-    platform = jax.devices()[0].platform
-    backends = ["scan"] + (["pallas"] if platform == "tpu" else [])
-    for backend in backends:
-        ctrl = MPPIController(cfg, rollout_backend=backend)
-        run_episode_jit(ctrl)  # compile + warm
-        reps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res = run_episode_jit(ctrl)
-            reps.append(time.perf_counter() - t0)
-        assert res.xs.shape[0] > 400
-        out[backend] = sorted(reps)[1]
+    cfg = _episode_cfg()
+    out, res = _timed_episode_per_backend(
+        lambda backend: MPPIController(cfg, rollout_backend=backend),
+        run_episode_jit,
+    )
+    assert res.xs.shape[0] > 400
+    n = res.us.shape[0]
+    for backend, t in out.items():
         print(
-            f"episode-jit [{backend}]: {out[backend]:.3f} s warm for "
-            f"{res.us.shape[0]} control cycles "
-            f"({1e3 * out[backend] / res.us.shape[0]:.2f} ms/cycle incl. plant)",
+            f"episode-jit [{backend}]: {t:.3f} s warm for {n} control "
+            f"cycles ({1e3 * t / n:.2f} ms/cycle incl. plant)",
             file=sys.stderr,
         )
-    best = min(out.values())
     return {
         "metric": "episode_jit_seconds_K3000_T50_500cycles",
-        "value": round(best, 4),
+        "value": round(min(out.values()), 4),
         "unit": "s",
         "vs_baseline": None,
         "per_backend_s": {k: round(v, 4) for k, v in out.items()},
@@ -459,38 +483,27 @@ def run_fleet_episode(args) -> dict:
     """Whole-fleet-episode headline: R complete 10 s closed loops (500
     control cycles x R solves + R world steps at K=3000, T=50) as ONE XLA
     program, timed warm for both fleet backends."""
-    import time
-
     from mppi_gpu_tpu.batched import BatchedMPPIController
-    from mppi_gpu_tpu.config import load_config
     from mppi_gpu_tpu.runner import run_fleet_episode_jit
 
-    root = os.path.dirname(os.path.abspath(__file__))
-    cfg = load_config(os.path.join(root, "configs", "point_mass2d.yaml"))
+    cfg = _episode_cfg()
     R = args.fleet
-    platform = jax.devices()[0].platform
-    out = {}
-    for backend in ["scan"] + (["pallas"] if platform == "tpu" else []):
-        ctrl = BatchedMPPIController(cfg, R, rollout_backend=backend)
-        run_fleet_episode_jit(ctrl)  # compile + warm
-        reps = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res = run_fleet_episode_jit(ctrl)
-            reps.append(time.perf_counter() - t0)
-        n = res.us.shape[0]
-        assert n > 400 and res.us.shape[1] == R
-        out[backend] = sorted(reps)[1]
+    out, res = _timed_episode_per_backend(
+        lambda backend: BatchedMPPIController(cfg, R, rollout_backend=backend),
+        run_fleet_episode_jit,
+    )
+    n = res.us.shape[0]
+    assert n > 400 and res.us.shape[1] == R
+    for backend, t in out.items():
         print(
-            f"fleet-episode-jit R={R} [{backend}]: {out[backend]:.3f} s warm "
-            f"for {n} cycles x {R} robots "
-            f"({1e3 * out[backend] / n:.2f} ms/cycle for the whole fleet)",
+            f"fleet-episode-jit R={R} [{backend}]: {t:.3f} s warm for {n} "
+            f"cycles x {R} robots ({1e3 * t / n:.2f} ms/cycle for the whole "
+            "fleet)",
             file=sys.stderr,
         )
-    best = min(out.values())
     return {
         "metric": f"fleet_episode_jit_seconds_R{R}_K3000_T50_500cycles",
-        "value": round(best, 4),
+        "value": round(min(out.values()), 4),
         "unit": "s",
         "vs_baseline": None,
         "per_backend_s": {k: round(v, 4) for k, v in out.items()},

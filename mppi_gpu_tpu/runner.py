@@ -145,9 +145,14 @@ def _launch_viewer(world) -> Any:
             "--view drives the live MuJoCo viewer and needs the real engine "
             "as the plant: add --world mujoco"
         )
-    if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")):
-        # pre-check: glfwInit on a headless host ABORTS the process rather
-        # than raising, so never reach it without a display
+    import sys as _sys
+
+    if _sys.platform.startswith("linux") and not (
+        os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+    ):
+        # pre-check (Linux only — macOS GUI sessions set neither variable):
+        # glfwInit on a headless host ABORTS the process rather than
+        # raising, so never reach it without a display
         raise ConfigError(
             "--view needs a display (no DISPLAY/WAYLAND_DISPLAY set). "
             "For headless replay, record with -t and use scripts/animate.py"
@@ -314,43 +319,63 @@ def run_closed_loop(
     return result
 
 
+def _episode_cache(ctrl, kind: str, cache_key):
+    """Per-controller cache of jitted episode programs. Rebuilding the
+    `@jax.jit` closure every call would re-trace (and off-TPU re-compile)
+    each time — repeated calls must be actually warm, both for users and
+    for the bench's warm-rep timing."""
+    cache = ctrl.__dict__.setdefault("_episode_jit_cache", {})
+    return cache, (kind, cache_key)
+
+
 def run_episode_jit(
     ctrl: MPPIController,
     *,
     world_params: WorldParams | None = None,
     num_steps: int | None = None,
     base_key: jax.Array | None = None,
+    x0: jax.Array | None = None,
 ) -> EpisodeResult:
     """Whole-episode jit: `lax.scan` over control cycles; each cycle is one
-    MPPI solve + `steps_per_control` physics steps, all on-device."""
+    MPPI solve + `steps_per_control` physics steps, all on-device.
+    `base_key`/`x0` override the episode's PRNG key and start state (both
+    are traced arguments, so overriding them does not re-trace)."""
     params = world_params or params_for_config(ctrl.cfg)
     world = make_jax_world(ctrl.cfg, params)
     n = num_steps if num_steps is not None else params.num_control_steps()
     key = ctrl.init_key() if base_key is None else base_key
+    ws0 = world.reset() if x0 is None else world.from_x(
+        jnp.asarray(x0, jnp.float32), world.reset().time
+    )
 
-    def cycle(carry, step):
-        ws, U = carry
-        res = ctrl._solve(  # reuse the controller's jitted solve body
-            ctrl.dynamics, ctrl.cost, ws.x, U,
-            jax.random.fold_in(key, step),
-            ctrl.sigma, ctrl.lambda_, ctrl.max_a,
-        )
-        ws_new, _ = world.simulate(ws, res.action)
-        return (ws_new, res.u_next), (ws_new.x, res.action, ws_new.time)
+    cache, ck = _episode_cache(ctrl, "single", (n, repr(params)))
+    episode = cache.get(ck)
+    if episode is None:
 
-    @jax.jit
-    def episode(U0):
-        ws0 = world.reset()
-        (_, _), (xs, us, ts) = jax.lax.scan(
-            cycle, (ws0, U0), jnp.arange(n)
-        )
-        return xs, us, ts
+        def cycle(carry, step):
+            ws, U, key = carry
+            res = ctrl._solve(  # reuse the controller's jitted solve body
+                ctrl.dynamics, ctrl.cost, ws.x, U,
+                jax.random.fold_in(key, step),
+                ctrl.sigma, ctrl.lambda_, ctrl.max_a,
+            )
+            ws_new, _ = world.simulate(ws, res.action)
+            return (ws_new, res.u_next, key), (ws_new.x, res.action, ws_new.time)
 
-    xs, us, ts = episode(ctrl.init_action_seq())
-    x0 = np.asarray(world.reset().x)[None]
+        @jax.jit
+        def episode(U0, ws0, key):
+            (_, _, _), (xs, us, ts) = jax.lax.scan(
+                cycle, (ws0, U0, key), jnp.arange(n)
+            )
+            return xs, us, ts
+
+        cache[ck] = episode
+
+    xs, us, ts = episode(ctrl.init_action_seq(), ws0, key)
+    x0_row = np.asarray(ws0.x)[None]
     return EpisodeResult(
         times=np.asarray(ts),
-        xs=np.concatenate([x0, np.asarray(xs)], axis=0),
+        xs=np.concatenate([x0_row, np.asarray(xs)], axis=0),
         us=np.asarray(us),
     )
 
@@ -391,27 +416,37 @@ def run_fleet_episode_jit(
         states = [world.from_x(xs0[r], t0) for r in range(R)]
         ws0 = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *states)
 
-    sim_batch = jax.vmap(world.simulate)
     # WorldState.x is a property written for a SINGLE state (it concatenates
     # leaves along axis 0), so extract the batched state vector under vmap
     x_of = jax.vmap(lambda ws: ws.x)
 
-    def cycle(carry, step):
-        ws, Us = carry
-        keys = jax.vmap(jax.random.fold_in, (0, None))(keys0, step)
-        res = ctrl._solve_batch(  # scan-vmap or the fleet fused kernel
-            ctrl.dynamics, ctrl.cost, x_of(ws), Us, keys,
-            ctrl.sigma, ctrl.lambda_, ctrl.max_a,
-        )
-        ws_new, _ = sim_batch(ws, res.action)
-        return (ws_new, res.u_next), (x_of(ws_new), res.action, ws_new.time[0])
+    cache, ck = _episode_cache(ctrl, "fleet", (n, R, repr(params)))
+    episode = cache.get(ck)
+    if episode is None:
+        sim_batch = jax.vmap(world.simulate)
 
-    @jax.jit
-    def episode(Us0, ws0):
-        (_, _), (xs, us, ts) = jax.lax.scan(cycle, (ws0, Us0), jnp.arange(n))
-        return xs, us, ts
+        def cycle(carry, step):
+            ws, Us, keys0 = carry
+            keys = jax.vmap(jax.random.fold_in, (0, None))(keys0, step)
+            res = ctrl._solve_batch(  # scan-vmap or the fleet fused kernel
+                ctrl.dynamics, ctrl.cost, x_of(ws), Us, keys,
+                ctrl.sigma, ctrl.lambda_, ctrl.max_a,
+            )
+            ws_new, _ = sim_batch(ws, res.action)
+            return (ws_new, res.u_next, keys0), (
+                x_of(ws_new), res.action, ws_new.time[0]
+            )
 
-    xs, us, ts = episode(ctrl.init_action_seqs(), ws0)
+        @jax.jit
+        def episode(Us0, ws0, keys0):
+            (_, _, _), (xs, us, ts) = jax.lax.scan(
+                cycle, (ws0, Us0, keys0), jnp.arange(n)
+            )
+            return xs, us, ts
+
+        cache[ck] = episode
+
+    xs, us, ts = episode(ctrl.init_action_seqs(), ws0, keys0)
     x0 = np.asarray(x_of(ws0))[None]
     return EpisodeResult(
         times=np.asarray(ts),

@@ -109,15 +109,15 @@ def test_fleet_episode_jit_matches_per_robot_episode_jit():
     keys0 = ctrl_b.init_keys()
     for r in range(R):
         ctrl_1 = MPPIController(cfg, rollout_backend="scan")
-        # same starting state: robot r=0 starts at the world's reset state
-        if r == 0:
-            res_1 = run_episode_jit(ctrl_1, num_steps=6, base_key=keys0[0])
-            np.testing.assert_allclose(
-                res_b.xs[:, 0], res_1.xs, rtol=1e-5, atol=1e-6
-            )
-            np.testing.assert_allclose(
-                res_b.us[:, 0], res_1.us, rtol=1e-5, atol=1e-6
-            )
+        res_1 = run_episode_jit(
+            ctrl_1, num_steps=6, base_key=keys0[r], x0=xs0[r]
+        )
+        np.testing.assert_allclose(
+            res_b.xs[:, r], res_1.xs, rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            res_b.us[:, r], res_1.us, rtol=1e-5, atol=1e-6
+        )
 
 
 def test_fleet_episode_jit_pallas_interpret():

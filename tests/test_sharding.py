@@ -135,18 +135,19 @@ def test_sharded_pallas_testmode_matches_oracle(scenario):
             continue
         if "SHARDED_PALLAS_OK" in out.stdout:
             return
-        if "AssertionError" in out.stderr or "Mismatch" in out.stderr:
-            # a real numerical failure is deterministic — fail immediately
+        if out.returncode >= 0:
+            # a Python-level failure (AssertionError, ImportError, shape
+            # errors...) is deterministic — fail immediately with full output
             raise AssertionError(
                 f"stdout:\n{out.stdout[-2000:]}\nstderr:\n{out.stderr[-2000:]}"
             )
-        # anything else (e.g. a hard crash in the CPU thunk executor while 8
-        # device threads drive the Mosaic interpreter — the crash variant of
-        # the known io_callback instability) is a scheduling flake, like the
-        # deadlock: the numerics are deterministic, so retry fresh
+        # negative rc = killed by a signal: a hard crash in the CPU thunk
+        # executor while 8 device threads drive the Mosaic interpreter (the
+        # crash variant of the known io_callback instability). Like the
+        # deadlock, a scheduling flake over deterministic numerics — retry
         last = (
-            f"interpreter crash (rc={out.returncode}); retried in a fresh "
-            f"process; stderr tail: {out.stderr[-300:]}"
+            f"interpreter crash (signal {-out.returncode}); retried in a "
+            f"fresh process; stderr tail: {out.stderr[-300:]}"
         )
     pytest.fail(f"all attempts: {last}")
 
