@@ -12,11 +12,20 @@ history resident for debugging; here that is the opt-in
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from mppi_gpu_tpu.models.base import Dynamics
 from mppi_gpu_tpu.ops.cost import Cost
+
+# Unroll factor for the horizon scan. The scan body is a handful of small
+# fused VPU ops over (K, ·) tensors, so at large K the loop's fixed
+# per-iteration cost is a visible fraction of the solve; unrolling
+# amortizes it (identical numerics — unroll only changes code layout).
+# Tunable for measurement via MPPI_SCAN_UNROLL.
+_UNROLL = max(1, int(os.environ.get("MPPI_SCAN_UNROLL", "1")))
 
 
 def rollout_costs(
@@ -36,7 +45,7 @@ def rollout_costs(
         c = cost.step(x_next, u_t, e_t)       # (K,)
         return x_next, c
 
-    xT, cs = jax.lax.scan(body, x0, (U, eps))
+    xT, cs = jax.lax.scan(body, x0, (U, eps), unroll=_UNROLL)
     return jnp.sum(cs, axis=0) + cost.final(xT)
 
 
