@@ -60,6 +60,7 @@ from mppi_gpu_tpu.ops.cost import QuadraticCost
 SUB = 8        # f32 sublane tile
 LANE = 128     # lane tile
 BIG = 3.0e38   # finite "infinity" for padded rollouts (inlined literal)
+CH = 8         # timesteps per static chunk in the one-pass weighted update
 
 # Interpreter config for the off-TPU (CPU) test path. Eager DMA execution:
 # the default deferred ("on_wait") mode intermittently livelocks inside the
@@ -106,6 +107,13 @@ class PallasPlan(NamedTuple):
                             # a mesh) still decorrelate.
     family: str = "lti"     # fused (dynamics, cost) family — see FAMILIES
     extra: int = 0          # family-specific static extra (obstacle count)
+    onepass: bool = False   # single-pass fused kernel: the tile's ε is staged
+                            # in a VMEM buffer during the rollout and re-read
+                            # for the weighted update (online-softmin rescale
+                            # across tiles), instead of being regenerated —
+                            # roofline-measured to remove both the second
+                            # Box-Muller pass AND the per-step one-hot scatter
+                            # (together ~45 % of the solve at K=10⁵, T=200)
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -114,6 +122,10 @@ class PallasPlan(NamedTuple):
     @property
     def grid(self) -> int:
         return self.Kpg // self.KB
+
+    @property
+    def Tc(self) -> int:    # horizon rounded up to the update-chunk size
+        return _round_up(self.T, CH)
 
 
 def make_plan(
@@ -128,11 +140,27 @@ def make_plan(
         raise ValueError(f"unknown fused family '{family}'; known: {sorted(FAMILIES)}")
     G = SUB // action_dim
     KB = _pick_kb(_round_up(K, G) // G, antithetic)
+    # One-pass eligibility: the ε stage buffer (Tc, SUB, KB) must fit the
+    # VMEM budget. When a smaller KB makes it fit, shrink KB — the KB choice
+    # is part of the plan (NOT a kernel-local decision) so every consumer of
+    # the same (K, T, A, …) arguments — kernels A/B, the fused core, the
+    # noise-dump kernel — shares one tile geometry and hence one PRNG stream.
+    onepass = os.environ.get("MPPI_PALLAS_ONEPASS", "1") != "0"
+    if onepass:
+        gran = 512 if antithetic else 256
+        budget = int(
+            float(os.environ.get("MPPI_PALLAS_EPS_VMEM_MB", "7")) * 2**20
+        )
+        cap = budget // (_round_up(T, CH) * SUB * 4) // gran * gran
+        if cap >= gran:
+            KB = min(KB, cap)
+        else:
+            onepass = False  # horizon too long to stage ε — two-pass fallback
     Kpg = _round_up(_round_up(K, G) // G, KB)
     return PallasPlan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
         Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
-        testmode=testmode, family=family, extra=extra,
+        testmode=testmode, family=family, extra=extra, onepass=onepass,
     )
 
 
@@ -903,16 +931,19 @@ def family_for(dyn, cost) -> str:
     )
 
 
-def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan):
+def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan, eps_out=None):
     """Seed tile `tile_i`'s PRNG stream, roll out its G·KB rollouts over T,
     and return the K-masked (G, KB) cost tile. The SINGLE implementation of
-    the rollout-cost phase, shared by kernel A, the fused kernel and the
-    fleet kernel — the execution modes must stay bit-identical. Generic over
-    the fused family (plan.family): the family supplies the state
-    integration and state-cost tile math; everything else is shared.
-    `seeds` = (seed0, seed1, Ktrue) int32 scalars (the fleet kernel passes
-    its robot's row); `u_ref`/`p_ref` may be VMEM refs OR loaded arrays —
-    both are only read via slicing."""
+    the rollout-cost phase, shared by kernel A, the fused kernels (two-pass
+    AND one-pass) and the fleet kernel — the execution modes must stay
+    bit-identical. Generic over the fused family (plan.family): the family
+    supplies the state integration and state-cost tile math; everything else
+    is shared. `seeds` = (seed0, seed1, Ktrue) int32 scalars (the fleet
+    kernel passes its robot's row); `u_ref`/`p_ref` may be VMEM refs OR
+    loaded arrays — both are only read via slicing. `eps_out` (one-pass
+    mode) is a (Tc, SUB, KB) VMEM stage buffer the consumed ε is written to
+    — the only difference in the emitted rollout code, so the ε stream and
+    the cost math cannot drift between modes."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
     fam = FAMILIES[plan.family]
     seed0, seed1, k_true = seeds
@@ -927,6 +958,8 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan):
     def body(t, carry):
         state, acc, e_prev = carry
         eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode, sid)
+        if eps_out is not None:
+            eps_out[t] = eps
         u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
         u_b = jnp.broadcast_to(u_t, (SUB, KB))
         state, c_state = fam_step(state, u_b + eps)
@@ -949,6 +982,50 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan):
     return jnp.where(_lane_rank(plan, tile_i) < k_true, S, jnp.float32(BIG))
 
 
+def _expand_group_weights(w_tile, plan: PallasPlan):
+    """(G, KB) group weights → (SUB, KB): one row per (group, action-dim),
+    rows g*A+i = w[g], zero on the G·A..SUB pad rows."""
+    A, G, KB = plan.A, plan.G, plan.KB
+    return jnp.concatenate(
+        [w_tile[g:g + 1, :] for g in range(G) for _ in range(A)]
+        + [jnp.zeros((SUB - G * A, KB), jnp.float32)] * (1 if SUB - G * A else 0),
+        axis=0,
+    )
+
+
+def _update_phase_from_buf(w_tile, eps_scr, plan: PallasPlan):
+    """One-pass weighted update: ΔU contribution of THIS tile read back from
+    the ε stage buffer `eps_scr` (Tc, SUB, KB) that :func:`_rollout_phase_S`
+    just filled — no PRNG regeneration and no per-step one-hot scatter.
+
+    Timesteps are processed in static chunks of CH: each chunk reads a
+    (CH·SUB, KB) slab, lane-reduces the weighted slab once, folds the group
+    rows, and lands as a (A, CH) block concatenated statically into its lane
+    position — roofline-measured at ~4× less VPU work than the per-step
+    regenerate+scatter loop (see docs/kernels.md)."""
+    A, G, KB, T, Tc, Tpad = plan.A, plan.G, plan.KB, plan.T, plan.Tc, plan.Tpad
+    w_big = jnp.broadcast_to(
+        _expand_group_weights(w_tile, plan)[None], (CH, SUB, KB)
+    ).reshape(CH * SUB, KB)
+    blocks = []
+    for c in range(0, Tc, CH):
+        slab = eps_scr[c:c + CH].reshape(CH * SUB, KB)
+        prod = w_big * slab
+        if c + CH > T:
+            # tail chunk: rows of steps ≥ T hold stale buffer contents (can
+            # be anything incl. NaN) — select them OUT, don't just zero-mul
+            row_t = jax.lax.broadcasted_iota(jnp.int32, (CH * SUB, KB), 0) // SUB
+            prod = jnp.where(c + row_t < T, prod, 0.0)
+        red = jnp.sum(prod, axis=1, keepdims=True)       # (CH·SUB, 1)
+        blk = red.reshape(CH, SUB).T                      # (SUB, CH): rows = packed dims
+        fold = blk[0:A]
+        for g in range(1, G):
+            fold = fold + blk[g * A:(g + 1) * A]          # (A, CH)
+        blocks.append(fold)
+    du = jnp.concatenate(blocks, axis=1)                  # (A, Tc)
+    return jnp.pad(du, ((0, SUB - A), (0, Tpad - Tc)))    # (SUB, Tpad)
+
+
 def _update_phase_acc(tile_i, w_tile, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan):
     """Re-seed tile `tile_i`'s stream IDENTICALLY to :func:`_rollout_phase_S`,
     regenerate its noise, and return the (SUB, Tpad) ΔU contribution weighted
@@ -959,12 +1036,7 @@ def _update_phase_acc(tile_i, w_tile, seeds, scal_ref, u_ref, p_ref, plan: Palla
     _seed(seed0, seed1, tile_i)
     u_all = u_ref[:, :]  # noqa: F841 — unused; kept so both phases read the same refs
     sigma = p_ref[:, _P_SIGMA:_P_SIGMA + 1]
-    # expand group weights to one row per (group, action-dim): rows g*A+i = w[g]
-    w_exp = jnp.concatenate(
-        [w_tile[g:g + 1, :] for g in range(G) for _ in range(A)]
-        + [jnp.zeros((SUB - G * A, KB), jnp.float32)] * (1 if SUB - G * A else 0),
-        axis=0,
-    )  # (SUB, KB)
+    w_exp = _expand_group_weights(w_tile, plan)
 
     sid = _kernel_sid(seed0, plan)
 
@@ -1353,6 +1425,62 @@ def _fused_solve_kernel(
             du_ref[:, :] = acc_scr[:, :]
 
 
+def _onepass_solve_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
+    u_ref,      # VMEM (SUB, Tpad)
+    p_ref,      # VMEM (SUB, NP)
+    s_ref,      # out VMEM (G, KB) blocks: per-rollout costs
+    du_ref,     # out VMEM (SUB, Tpad): ΔU
+    eps_scr,    # VMEM scratch (Tc, SUB, KB): THIS tile's ε stage buffer
+    run_scr,    # SMEM scratch (1, 2) f32: [β_run, η_run] online-softmin state
+    acc_scr,    # VMEM scratch (SUB, Tpad): unnormalized Σ w̃ ε accumulator
+    *, plan: PallasPlan,
+):
+    """The ENTIRE MPPI solve in ONE pass over the rollout tiles.
+
+    Each grid step handles one K-tile end to end: rollout (staging the
+    consumed ε in VMEM), then ONLINE softmin — the flash-attention trick
+    applied to MPPI: maintain running β and η, rescale the running
+    accumulators by f = exp((β_new−β_old)/λ) ≤ 1 whenever a later tile
+    lowers β, and accumulate this tile's UNNORMALIZED weighted noise from
+    the stage buffer. The final tile divides by η. Mathematically identical
+    to the two-pass softmin (every exponent is ≤ 0 throughout — the same
+    max-shift stability argument as online softmax); ε is generated ONCE
+    instead of twice and the per-step one-hot ΔU scatter disappears —
+    together ~45 % of the two-pass solve at K=10⁵, T=200 (docs/kernels.md).
+
+    β_run initializes to BIG, so the first tile's rescale factor underflows
+    to exactly 0 and no first-tile special-casing is needed. η ≥ 1 at the
+    end (the global-min rollout contributes exp(0) = 1 and is never
+    rescaled), so the division is always safe. The rollout body is the SAME
+    `_rollout_phase_S` the other modes use. Single-chip path only — the
+    sharded form stays two-kernel so β/η can cross the mesh as pmin/psum."""
+    i = pl.program_id(0)
+    lam = scal_ref[0, 2]  # softmin temperature
+    seeds = (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2])
+
+    @pl.when(i == 0)
+    def _():
+        acc_scr[:, :] = jnp.zeros_like(acc_scr)
+        run_scr[0, 0] = jnp.float32(BIG)   # β_run
+        run_scr[0, 1] = jnp.float32(0.0)   # η_run
+
+    S = _rollout_phase_S(i, seeds, scal_ref, u_ref, p_ref, plan, eps_out=eps_scr)
+    s_ref[:, :] = S
+    b_old = run_scr[0, 0]
+    b_new = jnp.minimum(b_old, jnp.min(S))
+    f = jnp.exp((b_new - b_old) / lam)                 # ≤ 1; 0 on tile 0
+    w_tile = jnp.exp(-(S - b_new) / lam)               # pad lanes underflow to 0
+    run_scr[0, 0] = b_new
+    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
+    acc_scr[:, :] = f * acc_scr[:, :] + _update_phase_from_buf(w_tile, eps_scr, plan)
+
+    @pl.when(i == plan.grid - 1)
+    def _():
+        du_ref[:, :] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+
+
 def pallas_fused_solve_core(
     dyn,          # dynamics of a registered fused family (see FAMILIES)
     cost,         # matching cost of that family,
@@ -1370,7 +1498,13 @@ def pallas_fused_solve_core(
 ) -> tuple[jax.Array, jax.Array]:
     """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
     no XLA ops or dispatch between the rollout, softmin, and update phases.
-    λ is read from the packed scalars (cost.lambda_). Single-chip path only."""
+    λ is read from the packed scalars (cost.lambda_). Single-chip path only.
+
+    Two kernel forms, chosen by the plan: the ONE-PASS form (default when
+    the ε stage buffer fits VMEM — `plan.onepass`) rolls out, online-softmins
+    and updates per tile in a single sweep; the two-pass form (grid
+    [A-tiles | softmin | B-tiles], ε regenerated) remains for long horizons
+    and as the structural twin of the sharded two-kernel path."""
     fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
@@ -1380,36 +1514,55 @@ def pallas_fused_solve_core(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
     )
     nk = plan.grid
-    S, dU = pl.pallas_call(
-        functools.partial(_fused_solve_kernel, plan=plan),
-        grid=(2 * nk + 1,),
+    common = dict(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, _np_cols(FAMILIES[plan.family], plan)), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            # phase-A tiles write their block; later phases keep re-flushing
-            # the last block with identical content (harmless)
-            pl.BlockSpec(
-                (plan.G, plan.KB),
-                lambda i: (0, jnp.minimum(i, plan.grid - 1)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
         out_shape=(
             jax.ShapeDtypeStruct((plan.G, plan.Kpg), jnp.float32),
             jax.ShapeDtypeStruct((SUB, plan.Tpad), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((plan.G, plan.Kpg), jnp.float32),
-            pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_INTERPRET if interpret else False,
-    )(ints, scal, u_tile, p)
+    )
+    if plan.onepass:
+        S, dU = pl.pallas_call(
+            functools.partial(_onepass_solve_kernel, plan=plan),
+            grid=(nk,),
+            out_specs=(
+                pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((plan.Tc, SUB, plan.KB), jnp.float32),
+                pltpu.SMEM((1, 2), jnp.float32),
+                pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
+            ],
+            **common,
+        )(ints, scal, u_tile, p)
+    else:
+        S, dU = pl.pallas_call(
+            functools.partial(_fused_solve_kernel, plan=plan),
+            grid=(2 * nk + 1,),
+            out_specs=(
+                # phase-A tiles write their block; later phases keep re-flushing
+                # the last block with identical content (harmless)
+                pl.BlockSpec(
+                    (plan.G, plan.KB),
+                    lambda i: (0, jnp.minimum(i, plan.grid - 1)),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((plan.G, plan.Kpg), jnp.float32),
+                pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
+            ],
+            **common,
+        )(ints, scal, u_tile, p)
     S = S.reshape(plan.Kpad)
     if plan.anti:
         S = S[anti_rank_perm(plan)]  # rank order: real rollouts occupy [:K]

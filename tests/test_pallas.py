@@ -364,6 +364,31 @@ def test_interpret_testmode_obstacle_full_kernel_math(A, M):
     np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
 
 
+def test_interpret_testmode_obstacle_fused_solve():
+    """Obstacle single-launch fused core — the path `auto` runs on a TPU
+    single chip for lti-obstacle. Closes the one family that had A/B
+    coverage but no fused-solve-core test (the other five have theirs:
+    lti/pendulum/cartpole/quadrotor/quadrotor3d)."""
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    K, T, A, M = 300, 12, 2, 3
+    dyn, cost, x0, U, sigma = _setup_obstacle(T, K, A, M)
+    key, lam = jax.random.key(13), jnp.float32(0.9)
+    plan = pr.make_plan(K, T, A, testmode=True, family="lti-obstacle", extra=M)
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(S_oracle), rtol=3e-5)
+    # the penalty must actually fire (else this fused-core check is vacuous)
+    S_plain = rollout_costs(dyn, cost.base, x0, U, eps_ref[:, :K, :])
+    assert float(jnp.max(S_oracle - S_plain)) >= 50.0
+    sm = softmin_weights(Sf, lam)
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], sm.weights[:K])
+    np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6)
+
+
 def _setup_quadrotor(T=12, K=300):
     from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
     from mppi_gpu_tpu.ops.cost import QuadrotorHoverCost

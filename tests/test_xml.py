@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import pytest
 
 from mppi_gpu_tpu.config import load_config
@@ -63,3 +64,33 @@ def test_bad_xml_rejected(tmp_path, mutation, match):
     p.write_text(bad)
     with pytest.raises(XMLWorldError, match=match):
         load_world_xml(p)
+
+
+REF_XML = "/root/reference/envs/point_mass2d.xml"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(REF_XML),
+                    reason="reference checkout not present")
+def test_reference_own_xml_end_to_end():
+    """Ingest the reference's ACTUAL env asset (not a reference-style copy):
+    point `env:` at /root/reference/envs/point_mass2d.xml, build the world +
+    controller from it, and run 5 closed-loop control steps — the 'switching
+    from the reference' path (PARITY.md) demonstrated on the reference's own
+    file (reference envs/point_mass2d.xml:28-43: two slide joints, gear=10,
+    ctrlrange ±1, RK4 @ 0.01 s, target site at (1.0, 0))."""
+    from mppi_gpu_tpu.controller import MPPIController
+    from mppi_gpu_tpu.runner import run_closed_loop
+
+    w = load_world_xml(REF_XML)
+    assert w.params.n_axes == 2
+    assert w.params == WorldParams(n_axes=2)  # same physics as the built-in
+    assert w.target == (1.0, 0.0)             # the XML's target site (goal hint)
+
+    cfg = load_config("configs/point_mass2d.yaml").replace(
+        env=REF_XML, samples=128, horizon=15
+    )
+    assert world_params_for_config(cfg) == WorldParams(n_axes=2)
+    ctrl = MPPIController(cfg)
+    res = run_closed_loop(ctrl, world_backend="jax", max_steps=5)
+    assert res.xs.shape[0] == 6 and res.us.shape == (5, 2)
+    assert np.all(np.isfinite(res.xs)) and np.all(np.abs(res.us) <= 1.0)
