@@ -148,8 +148,12 @@ def make_plan(
     onepass = os.environ.get("MPPI_PALLAS_ONEPASS", "1") != "0"
     if onepass:
         gran = 512 if antithetic else 256
+        # default swept on v5e at K=10⁵, T=200: 11 MB → KB=1792 (1.83 ms) vs
+        # 7 MB → KB=1024 (1.97 ms) vs 13 MB → KB=2048 (1.86 ms); v5e VMEM is
+        # ~16 MB so 11 MB leaves room for the U table + state tiles of the
+        # largest (13-tile quadrotor3d) family
         budget = int(
-            float(os.environ.get("MPPI_PALLAS_EPS_VMEM_MB", "7")) * 2**20
+            float(os.environ.get("MPPI_PALLAS_EPS_VMEM_MB", "11")) * 2**20
         )
         cap = budget // (_round_up(T, CH) * SUB * 4) // gran * gran
         if cap >= gran:
@@ -931,7 +935,8 @@ def family_for(dyn, cost) -> str:
     )
 
 
-def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan, eps_out=None):
+def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan,
+                     eps_out=None, u3_ref=None):
     """Seed tile `tile_i`'s PRNG stream, roll out its G·KB rollouts over T,
     and return the K-masked (G, KB) cost tile. The SINGLE implementation of
     the rollout-cost phase, shared by kernel A, the fused kernels (two-pass
@@ -941,9 +946,12 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan, ep
     is shared. `seeds` = (seed0, seed1, Ktrue) int32 scalars (the fleet
     kernel passes its robot's row); `u_ref`/`p_ref` may be VMEM refs OR
     loaded arrays — both are only read via slicing. `eps_out` (one-pass
-    mode) is a (Tc, SUB, KB) VMEM stage buffer the consumed ε is written to
-    — the only difference in the emitted rollout code, so the ε stream and
-    the cost math cannot drift between modes."""
+    mode) is a (Tc, SUB, KB) VMEM stage buffer the consumed ε is written to.
+    `u3_ref`, when given, is a (T, SUB, LANE) lane-replicated U table: step
+    t's action column is then a dynamic leading-dim load instead of the
+    one-hot lane extraction — same exact values (both yield U[t,i] exactly,
+    so S stays bit-identical across modes), measured ~0.3 ms cheaper per
+    solve at T=200, K=10⁵ (docs/kernels.md roofline)."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
     fam = FAMILIES[plan.family]
     seed0, seed1, k_true = seeds
@@ -960,8 +968,11 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan, ep
         eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode, sid)
         if eps_out is not None:
             eps_out[t] = eps
-        u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
-        u_b = jnp.broadcast_to(u_t, (SUB, KB))
+        if u3_ref is not None:
+            u_b = jnp.broadcast_to(u3_ref[t][:, 0:1], (SUB, KB))
+        else:
+            u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
+            u_b = jnp.broadcast_to(u_t, (SUB, KB))
         state, c_state = fam_step(state, u_b + eps)
         # step cost on x_{t+1}: state part from the family + the generic
         # λ·uᵀΣ⁻¹ε control term, accumulated ELEMENTWISE — the per-group
@@ -1430,6 +1441,7 @@ def _onepass_solve_kernel(
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad)
     p_ref,      # VMEM (SUB, NP)
+    u3_ref,     # VMEM (T, SUB, LANE): lane-replicated U table (leading-dim read)
     s_ref,      # out VMEM (G, KB) blocks: per-rollout costs
     du_ref,     # out VMEM (SUB, Tpad): ΔU
     eps_scr,    # VMEM scratch (Tc, SUB, KB): THIS tile's ε stage buffer
@@ -1466,7 +1478,8 @@ def _onepass_solve_kernel(
         run_scr[0, 0] = jnp.float32(BIG)   # β_run
         run_scr[0, 1] = jnp.float32(0.0)   # η_run
 
-    S = _rollout_phase_S(i, seeds, scal_ref, u_ref, p_ref, plan, eps_out=eps_scr)
+    S = _rollout_phase_S(i, seeds, scal_ref, u_ref, p_ref, plan,
+                         eps_out=eps_scr, u3_ref=u3_ref)
     s_ref[:, :] = S
     b_old = run_scr[0, 0]
     b_new = jnp.minimum(b_old, jnp.min(S))
@@ -1529,6 +1542,14 @@ def pallas_fused_solve_core(
         interpret=_INTERPRET if interpret else False,
     )
     if plan.onepass:
+        # lane-replicated U table for the kernel's leading-dim step read
+        # (XLA-side broadcast; 4·T·SUB·LANE bytes = 4 KB per step of VMEM)
+        u3 = jnp.broadcast_to(
+            u_tile[:, : plan.T].T[:, :, None], (plan.T, SUB, LANE)
+        )
+        common["in_specs"] = common["in_specs"] + [
+            pl.BlockSpec((plan.T, SUB, LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ]
         S, dU = pl.pallas_call(
             functools.partial(_onepass_solve_kernel, plan=plan),
             grid=(nk,),
@@ -1542,7 +1563,7 @@ def pallas_fused_solve_core(
                 pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
             ],
             **common,
-        )(ints, scal, u_tile, p)
+        )(ints, scal, u_tile, p, u3)
     else:
         S, dU = pl.pallas_call(
             functools.partial(_fused_solve_kernel, plan=plan),
