@@ -41,6 +41,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--sharded", action="store_true", help="shard K over all devices")
     p.add_argument(
+        "--multihost", action="store_true",
+        help="multi-host bring-up: jax.distributed.initialize (auto-discovers "
+        "on a TPU pod slice; see --coordinator for manual wiring), then shard "
+        "K over the GLOBAL mesh — run the same command on every host",
+    )
+    p.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="with --multihost: explicit coordinator address "
+        "(requires --num-processes and --process-id; omit on TPU pods)",
+    )
+    p.add_argument("--num-processes", type=int, default=None, help="with --coordinator")
+    p.add_argument("--process-id", type=int, default=None, help="with --coordinator")
+    p.add_argument(
         "--jit-episode", action="store_true",
         help="run the whole episode as one jitted scan (JAX world only)",
     )
@@ -84,12 +97,31 @@ def _main(args) -> int:
     if args.seed is not None:
         cfg = cfg.replace(seed=args.seed)
 
-    if args.sharded:
+    if args.multihost:
+        # must run before the first jax.devices()/array op in this process
+        from mppi_gpu_tpu.parallel import (
+            ShardedMPPIController,
+            global_mesh,
+            init_multihost,
+            is_coordinator,
+        )
+
+        pid, n_proc = init_multihost(
+            args.coordinator, args.num_processes, args.process_id
+        )
+        mesh = global_mesh()
+        print(f"multihost: process {pid}/{n_proc}, global mesh {mesh.devices.size} devices")
+        ctrl: MPPIController = ShardedMPPIController(
+            cfg, mesh=mesh, rollout_backend=args.rollout_backend
+        )
+        if not is_coordinator():
+            # every host executes the same replicated loop; only the
+            # coordinator owns side outputs
+            args.traj = args.step_dump_dir = args.checkpoint = None
+    elif args.sharded:
         from mppi_gpu_tpu.parallel import ShardedMPPIController
 
-        ctrl: MPPIController = ShardedMPPIController(
-            cfg, rollout_backend=args.rollout_backend
-        )
+        ctrl = ShardedMPPIController(cfg, rollout_backend=args.rollout_backend)
     else:
         ctrl = MPPIController(cfg, rollout_backend=args.rollout_backend)
 

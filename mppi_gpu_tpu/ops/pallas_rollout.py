@@ -936,7 +936,7 @@ def family_for(dyn, cost) -> str:
 
 
 def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan,
-                     eps_out=None, u3_ref=None):
+                     eps_out=None, u3_at=None):
     """Seed tile `tile_i`'s PRNG stream, roll out its G·KB rollouts over T,
     and return the K-masked (G, KB) cost tile. The SINGLE implementation of
     the rollout-cost phase, shared by kernel A, the fused kernels (two-pass
@@ -947,11 +947,12 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan,
     kernel passes its robot's row); `u_ref`/`p_ref` may be VMEM refs OR
     loaded arrays — both are only read via slicing. `eps_out` (one-pass
     mode) is a (Tc, SUB, KB) VMEM stage buffer the consumed ε is written to.
-    `u3_ref`, when given, is a (T, SUB, LANE) lane-replicated U table: step
-    t's action column is then a dynamic leading-dim load instead of the
-    one-hot lane extraction — same exact values (both yield U[t,i] exactly,
-    so S stays bit-identical across modes), measured ~0.3 ms cheaper per
-    solve at T=200, K=10⁵ (docs/kernels.md roofline)."""
+    `u3_at`, when given, is a callable t → (SUB, LANE) row of a
+    lane-replicated U table: step t's action column is then a dynamic
+    leading-dim load instead of the one-hot lane extraction — same exact
+    values (both yield U[t,i] exactly, so S stays bit-identical across
+    modes), measured ~0.3 ms cheaper per solve at T=200, K=10⁵
+    (docs/kernels.md roofline)."""
     A, G, KB, Tpad = plan.A, plan.G, plan.KB, plan.Tpad
     fam = FAMILIES[plan.family]
     seed0, seed1, k_true = seeds
@@ -968,8 +969,8 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan,
         eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode, sid)
         if eps_out is not None:
             eps_out[t] = eps
-        if u3_ref is not None:
-            u_b = jnp.broadcast_to(u3_ref[t][:, 0:1], (SUB, KB))
+        if u3_at is not None:
+            u_b = jnp.broadcast_to(u3_at(t)[:, 0:1], (SUB, KB))
         else:
             u_t = jnp.sum(u_all * _onehot_lanes(t, Tpad), axis=1, keepdims=True)
             u_b = jnp.broadcast_to(u_t, (SUB, KB))
@@ -1479,7 +1480,7 @@ def _onepass_solve_kernel(
         run_scr[0, 1] = jnp.float32(0.0)   # η_run
 
     S = _rollout_phase_S(i, seeds, scal_ref, u_ref, p_ref, plan,
-                         eps_out=eps_scr, u3_ref=u3_ref)
+                         eps_out=eps_scr, u3_at=lambda t: u3_ref[t])
     s_ref[:, :] = S
     b_old = run_scr[0, 0]
     b_new = jnp.minimum(b_old, jnp.min(S))
@@ -1643,6 +1644,53 @@ def _fleet_fused_solve_kernel(
             du_ref[0] = acc_scr[:, :]
 
 
+def _fleet_onepass_solve_kernel(
+    ints_ref,   # SMEM (R, 4) int32: per-robot [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)] (shared)
+    u_ref,      # VMEM (1, SUB, Tpad): robot r's nominal U block
+    p_ref,      # VMEM (1, SUB, NP): robot r's family parameter pack
+    u3_ref,     # VMEM (1, T, SUB, LANE): robot r's lane-replicated U table
+    s_ref,      # out VMEM (1, G, KB) blocks: robot r's tile-i costs
+    du_ref,     # out VMEM (1, SUB, Tpad): robot r's ΔU
+    eps_scr,    # VMEM scratch (Tc, SUB, KB): ε stage buffer, recycled per tile
+    run_scr,    # SMEM scratch (1, 2) f32: robot-local [β_run, η_run]
+    acc_scr,    # VMEM scratch (SUB, Tpad): robot-local unnormalized Σ w̃ ε
+    *, plan: PallasPlan,
+):
+    """One-pass fleet solve: grid (R, nk) — robot r's online-softmin sweep
+    over its K-tiles, the SAME per-tile body as :func:`_onepass_solve_kernel`
+    (rollout stages ε in VMEM, running β/η rescale, chunked weighted
+    update). Per-robot data arrives via BlockSpec index maps on axis 0 /
+    the SMEM seed row; the scratch state resets at each robot's i == 0, so
+    the scratch buffers recycle robot to robot exactly like the two-pass
+    fleet kernel's."""
+    r, i = pl.program_id(0), pl.program_id(1)
+    lam = scal_ref[0, 2]
+    seeds = (ints_ref[r, 0], ints_ref[r, 1], ints_ref[r, 2])
+    u_all, p = u_ref[0], p_ref[0]
+
+    @pl.when(i == 0)
+    def _():
+        acc_scr[:, :] = jnp.zeros_like(acc_scr)
+        run_scr[0, 0] = jnp.float32(BIG)   # β_run
+        run_scr[0, 1] = jnp.float32(0.0)   # η_run
+
+    S = _rollout_phase_S(i, seeds, scal_ref, u_all, p, plan,
+                         eps_out=eps_scr, u3_at=lambda t: u3_ref[0, t])
+    s_ref[0] = S
+    b_old = run_scr[0, 0]
+    b_new = jnp.minimum(b_old, jnp.min(S))
+    f = jnp.exp((b_new - b_old) / lam)                 # ≤ 1; 0 on tile 0
+    w_tile = jnp.exp(-(S - b_new) / lam)               # pad lanes underflow to 0
+    run_scr[0, 0] = b_new
+    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
+    acc_scr[:, :] = f * acc_scr[:, :] + _update_phase_from_buf(w_tile, eps_scr, plan)
+
+    @pl.when(i == plan.grid - 1)
+    def _():
+        du_ref[0] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+
+
 def pallas_fleet_solve_core(
     dyn,                 # dynamics shared by the fleet (a registered family)
     cost,                # matching cost; leaves may carry a leading R axis
@@ -1687,39 +1735,67 @@ def pallas_fleet_solve_core(
     scal = scal[0]  # (1, 5): dt/λ/OU are fleet-wide by construction
     NP = _np_cols(FAMILIES[plan.family], plan)
     nk = plan.grid
-    S, dU = pl.pallas_call(
-        functools.partial(_fleet_fused_solve_kernel, plan=plan),
-        grid=(R, 2 * nk + 1),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, NP), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            # phase-A tiles write their block; later phases re-flush robot
-            # r's last block with identical content (harmless, as in the
-            # single-robot fused kernel)
-            pl.BlockSpec(
-                (1, plan.G, plan.KB),
-                lambda r, i: (r, 0, jnp.minimum(i, plan.grid - 1)),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
-        ),
+    common = dict(
         out_shape=(
             jax.ShapeDtypeStruct((R, plan.G, plan.Kpg), jnp.float32),
             jax.ShapeDtypeStruct((R, SUB, plan.Tpad), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((plan.G, plan.Kpg), jnp.float32),
-            pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),  # sequential: scratch reuse
         ),
         interpret=_INTERPRET if interpret else False,
-    )(ints, scal, u, p)
+    )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUB, NP), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if plan.onepass:
+        # per-robot lane-replicated U tables for the leading-dim step read
+        u3 = jnp.broadcast_to(
+            jnp.swapaxes(u[:, :, : plan.T], 1, 2)[:, :, :, None],
+            (R, plan.T, SUB, LANE),
+        )
+        S, dU = pl.pallas_call(
+            functools.partial(_fleet_onepass_solve_kernel, plan=plan),
+            grid=(R, nk),
+            in_specs=in_specs + [
+                pl.BlockSpec((1, plan.T, SUB, LANE), lambda r, i: (r, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, plan.G, plan.KB), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((plan.Tc, SUB, plan.KB), jnp.float32),
+                pltpu.SMEM((1, 2), jnp.float32),
+                pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
+            ],
+            **common,
+        )(ints, scal, u, p, u3)
+    else:
+        S, dU = pl.pallas_call(
+            functools.partial(_fleet_fused_solve_kernel, plan=plan),
+            grid=(R, 2 * nk + 1),
+            in_specs=in_specs,
+            out_specs=(
+                # phase-A tiles write their block; later phases re-flush robot
+                # r's last block with identical content (harmless, as in the
+                # single-robot fused kernel)
+                pl.BlockSpec(
+                    (1, plan.G, plan.KB),
+                    lambda r, i: (r, 0, jnp.minimum(i, plan.grid - 1)),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((plan.G, plan.Kpg), jnp.float32),
+                pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
+            ],
+            **common,
+        )(ints, scal, u, p)
     S = S.reshape(R, plan.Kpad)
     if plan.anti:
         S = S[:, anti_rank_perm(plan)]  # rank order per robot

@@ -22,6 +22,16 @@ import numpy as np
 import pytest
 
 
+def pytest_collection_modifyitems(config, items):
+    """`hardware` and `mesh_subprocess` imply `slow`, so the fast tier is
+    exactly one expression: pytest -m "not slow" (~2-3 min); the full gate
+    is a plain `pytest tests/` (~12-15 min, includes the real-chip check)."""
+    slow = pytest.mark.slow
+    for item in items:
+        if "hardware" in item.keywords or "mesh_subprocess" in item.keywords:
+            item.add_marker(slow)
+
+
 @pytest.fixture
 def rng() -> np.random.Generator:
     return np.random.default_rng(42)

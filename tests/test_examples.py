@@ -66,6 +66,7 @@ def test_quadrotor_waypoints_smoke(tmp_path, capsys):
     assert rc in (0, 1)  # 40 steps can't finish the tour; pipeline still runs
 
 
+@pytest.mark.slow
 def test_learn_quadrotor_residual_smoke(capsys):
     mod = _load("learn_quadrotor_residual.py")
     rc = mod.main(["--transitions", "512", "--fit-steps", "120", "--loop-steps", "4"])

@@ -1,0 +1,26 @@
+"""Multi-host bootstrap dryrun (see mppi_gpu_tpu/parallel/multihost.py).
+
+The reference has nothing to compare against (single process, single GPU);
+this guards the TPU build's pod-slice bring-up path.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.mesh_subprocess
+def test_multihost_bootstrap_single_process():
+    """init_multihost → global_mesh → ShardedMPPIController executes with
+    num_processes=1 on a fresh interpreter (jax.distributed.initialize must
+    precede backend init, so this cannot run in the pytest process)."""
+    script = os.path.join(os.path.dirname(__file__), "_multihost_check.py")
+    out = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, timeout=240,
+        env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
+    )
+    assert "MULTIHOST_OK" in out.stdout, (
+        f"stdout:\n{out.stdout}\nstderr:\n{out.stderr[-3000:]}"
+    )

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mppi_gpu_tpu.config import MPPIConfig
 from mppi_gpu_tpu.controller import MPPIController
@@ -27,6 +28,7 @@ def test_fresh_mlp_is_identity():
     np.testing.assert_allclose(np.asarray(m.step(x, u)), np.asarray(x), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_mlp_learns_lti_dynamics():
     """Fit the surrogate on LTI transitions, then verify one-step prediction
     error is small — the 'learned model inside the rollout' workflow."""
@@ -44,6 +46,7 @@ def test_mlp_learns_lti_dynamics():
     assert err < 0.05, f"max one-step error {err}"
 
 
+@pytest.mark.slow
 def test_mppi_with_mlp_dynamics_runs_and_steers():
     """MPPI over the learned model must still solve the control problem
     against the true LTI plant."""
@@ -86,6 +89,7 @@ def test_hybrid_residual_untrained_equals_analytic():
     )
 
 
+@pytest.mark.slow
 def test_hybrid_residual_learns_rotor_clamp():
     """The hybrid fit must close the quadrotor model-plant gap (which is
     almost entirely the rotor-envelope clamp) on held-out transitions, and

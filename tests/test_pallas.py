@@ -91,6 +91,7 @@ def test_plan_geometry():
     assert plan1.G == 8 and plan1.Kpad >= 8
 
 
+@pytest.mark.hardware
 def test_pallas_on_real_tpu():
     """Full kernel semantics on hardware; skips cleanly when no TPU."""
     script = os.path.join(os.path.dirname(__file__), "_pallas_tpu_check.py")

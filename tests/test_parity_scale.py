@@ -19,6 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mppi_gpu_tpu.controller import mppi_solve_deterministic, sample_noise
 from mppi_gpu_tpu.models.point_mass import PointMassLTI
@@ -56,6 +57,7 @@ def _oracle(cost, x0, U, eps):
     )
 
 
+@pytest.mark.slow
 def test_scan_parity_at_benchmark_scale():
     """Injected-noise deterministic solve, scan backend, full benchmark scale
     vs the float64 oracle."""
@@ -112,6 +114,7 @@ def test_softmin_conditioning_at_scale():
     np.testing.assert_allclose(float(sm2.weights.sum()), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_testmode_parity_at_benchmark_scale():
     """The full Pallas kernel math (group packing, one-hot U extraction,
     in-register accumulation over T=200, K-padding masking, the weighted

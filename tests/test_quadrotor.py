@@ -93,6 +93,7 @@ def test_world_thrust_clamp():
     assert 0.0 < float(ws3.om) <= om_cap + 1e-5
 
 
+@pytest.mark.slow
 def test_waypoint_flight():
     """The controller must fly from (−1, 0) to the (1, 0.5) waypoint and
     hover there — nonzero nominal action, coupled actuation."""

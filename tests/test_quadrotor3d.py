@@ -129,6 +129,7 @@ def test_world_rotor_clamp():
     assert float(achieved[3]) < 0.5
 
 
+@pytest.mark.slow
 def test_waypoint_flight():
     """The controller must fly from (−1, 0, 0.5) to (1, 0.5, 1) and hover —
     the full SE(3) control problem through the standard closed loop."""

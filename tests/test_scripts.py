@@ -150,6 +150,7 @@ def _egl_rendering_available() -> bool:
     [("point_mass2d", 4, 2), ("pendulum", 2, 1), ("cartpole", 4, 1),
      ("quadrotor", 6, 2), ("quadrotor3d", 13, 4)],
 )
+@pytest.mark.slow
 def test_animate_mujoco_renderer(tmp_path, env, s, a):
     """`--renderer mujoco`: the recorded episode replayed through the real
     MuJoCo renderer (offscreen EGL — the headless analog of the reference's

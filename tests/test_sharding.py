@@ -103,6 +103,7 @@ def test_sharded_rejects_uneven_K(mesh8):
 
 
 @pytest.mark.parametrize("scenario", ["iid", "anti", "pendulum", "quadrotor"])
+@pytest.mark.mesh_subprocess
 def test_sharded_pallas_testmode_matches_oracle(scenario):
     """THE production multi-chip configuration — the two-kernel Pallas path
     under `shard_map` with real pmin/psum across 8 shards — executed on the
