@@ -394,13 +394,21 @@ def run_episode(args) -> dict:
 
 def bench_fleet_solve(R: int, K: int, T: int, backend: str, iters: int,
                       warmup: int, family: str = "lti", reps: int = 5,
-                      antithetic: bool = False) -> dict:
+                      antithetic: bool = False, sharded: bool = False) -> dict:
     """Times one whole-fleet solve (R robots x K rollouts each) with the same
-    chained-scan differencing harness as :func:`bench_solve`."""
+    chained-scan differencing harness as :func:`bench_solve`. With
+    `sharded`, robots shard over the device mesh as whole robots per chip
+    (parallel/fleet.py) — on n=1 this measures the shard_map wrapper's
+    overhead over the plain fleet (expected ~zero: no collectives)."""
     from mppi_gpu_tpu.batched import BatchedMPPIController
 
     cfg = make_cfg(K, T, family, antithetic)
-    ctrl = BatchedMPPIController(cfg, R, rollout_backend=backend)
+    if sharded:
+        from mppi_gpu_tpu.parallel import ShardedFleetController
+
+        ctrl = ShardedFleetController(cfg, R, rollout_backend=backend)
+    else:
+        ctrl = BatchedMPPIController(cfg, R, rollout_backend=backend)
     x1 = bench_x0(family)
     # distinct per-robot starts: position offsets only, so quaternion states
     # stay unit
@@ -442,7 +450,8 @@ def run_fleet(args) -> dict:
         try:
             s = bench_fleet_solve(R, K, args.t, backend, args.iters,
                                   args.warmup, family=args.family,
-                                  antithetic=args.antithetic)
+                                  antithetic=args.antithetic,
+                                  sharded=args.sharded)
         except Exception as e:  # noqa: BLE001 — e.g. the scan fleet's
             # (R, T, K, a) noise tensor exceeding HBM at scales the fused
             # fleet (on-chip noise) still runs; that asymmetry IS a result
@@ -457,6 +466,7 @@ def run_fleet(args) -> dict:
         print(
             f"fleet R={R} K={K} T={args.t} [{backend}"
             + (" + antithetic" if args.antithetic else "")
+            + (" + sharded" if args.sharded else "")
             + (f" ({args.family})" if args.family != "lti" else "")
             + f"]: {_fmt(s)} per fleet-solve "
             f"({R * 1e3 / s['p50_ms']:.0f} robot-solves/s)",
@@ -468,6 +478,7 @@ def run_fleet(args) -> dict:
     best = min(ok, key=lambda s: s["p50_ms"])
     return {
         "metric": f"ms_per_fleet_solve_R{R}_K{K}_T{args.t}"
+        + ("_sharded" if args.sharded else "")
         + (f"_{args.family}" if args.family != "lti" else ""),
         "value": round(best["p50_ms"], 4),
         "unit": "ms",
@@ -666,7 +677,9 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"device: {dev.platform} ({dev}) x{len(jax.devices())}", file=sys.stderr)
 
-    if args.sharded:
+    if args.fleet and args.sharded:
+        out = run_fleet(args)
+    elif args.sharded:
         out = run_sharded(args)
     elif args.fleet and args.episode:
         out = run_fleet_episode(args)

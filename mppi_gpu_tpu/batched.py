@@ -102,26 +102,29 @@ class BatchedMPPIController(MPPIController):
                     f"goals must be ({n_robots}, {cfg.state_dim}), got {goals.shape}"
                 )
             self.cost, cost_axes = _batch_goals(self.cost, goals)
+        self._cost_axes = cost_axes  # consumed by ShardedFleetController
 
         if self.rollout_backend in ("pallas", "pallas-interpret"):
-            self._solve_batch = self._build_pallas_fleet(cfg, cost_axes, testmode)
+            self._solve_batch_fn = self._build_pallas_fleet(cfg, cost_axes, testmode)
         else:
             solve = partial(
                 mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,
                 rollout_backend="scan", antithetic=cfg.antithetic,
                 ou_beta=cfg.noise_beta,
             )
-            self._solve_batch = jax.jit(
-                jax.vmap(
-                    solve,
-                    in_axes=(None, cost_axes, 0, 0, 0, None, None, None),
-                )
+            self._solve_batch_fn = jax.vmap(
+                solve, in_axes=(None, cost_axes, 0, 0, 0, None, None, None)
             )
+        # the unjitted fleet solve (`_solve_batch_fn`) is robot-count-
+        # agnostic: ShardedFleetController re-wraps it in shard_map over
+        # the robot axis, each shard solving its R/n robots locally
+        self._solve_batch = jax.jit(self._solve_batch_fn)
 
     def _build_pallas_fleet(self, cfg: MPPIConfig, cost_axes, testmode: bool):
-        """Jitted whole-fleet solve through the fleet fused kernel: one
-        launch computes every robot's rollout costs AND ΔU; only the tiny
-        per-robot softmin diagnostics + clamp/shift tail run in XLA."""
+        """Whole-fleet solve through the fleet fused kernel: one launch
+        computes every robot's rollout costs AND ΔU; only the tiny
+        per-robot softmin diagnostics + clamp/shift tail run in XLA.
+        Returned unjitted (the caller jits / shard_maps it)."""
         from mppi_gpu_tpu.ops import pallas_rollout as pr
 
         pr.check_supported(self.dynamics, self.cost)
@@ -154,7 +157,7 @@ class BatchedMPPIController(MPPIController):
 
             return jax.vmap(tail)(S, dU, Us)
 
-        return jax.jit(solve_fleet)
+        return solve_fleet
 
     # -- batched state helpers --------------------------------------------
     def init_action_seqs(self) -> jax.Array:

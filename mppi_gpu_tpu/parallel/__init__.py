@@ -1,6 +1,7 @@
 """Multi-chip execution: device meshes, the sharded MPPI solve, and the
 multi-host bootstrap."""
 
+from mppi_gpu_tpu.parallel.fleet import ShardedFleetController
 from mppi_gpu_tpu.parallel.mesh import make_mesh
 from mppi_gpu_tpu.parallel.multihost import (
     global_mesh,
@@ -11,6 +12,7 @@ from mppi_gpu_tpu.parallel.sharded import ShardedMPPIController, sharded_mppi_so
 
 __all__ = [
     "make_mesh",
+    "ShardedFleetController",
     "ShardedMPPIController",
     "sharded_mppi_solve",
     "init_multihost",

@@ -440,4 +440,46 @@ for r in range(2):
         f"fleet robot {r} costs diverge"
     )
 
+# --- K=10^6 gate: the LARGEST published bench row (BASELINE.md) gets the
+# same correctness proof as K=10^4. At this scale the one-hot A/B
+# cross-check guards the PRNG stream identity and tile geometry across a
+# ~61-tile grid, and the softmin-conditioning asserts guard against
+# catastrophic exp underflow/overflow at million-way reductions.
+K6, T6 = 1_000_000, 200
+U6 = jnp.zeros((T6, A), jnp.float32)
+plan6 = pr.make_plan(K6, T6, A)
+S6 = jax.jit(lambda *a: pr.pallas_rollout_costs(*a, K=K6))(dyn, cost, x0, U6, key, sigma)
+assert S6.shape == (plan6.Kpad,)
+S6_real = S6[:K6]
+assert bool(jnp.isfinite(S6_real).all()), "non-finite rollout cost at K=1e6"
+assert float(S6[-1]) > 1e37, "padded rollouts must carry BIG cost at K=1e6"
+for k6 in (0, 424242, K6 - 1):
+    w6 = jnp.zeros((plan6.Kpad,), jnp.float32).at[k6].set(1.0)
+    eps_k6 = jax.jit(lambda *a: pr.pallas_weighted_update(*a, K=K6))(
+        dyn, cost, x0, U6, key, sigma, w6
+    )
+    S_ref6 = float(rollout_costs(dyn, cost, x0, U6, eps_k6[:, None, :])[0])
+    rel6 = abs(float(S6[k6]) - S_ref6) / max(1.0, abs(S_ref6))
+    assert rel6 < 1e-4, f"K=1e6 k={k6}: kernel S={float(S6[k6])} scan S={S_ref6} rel={rel6}"
+
+from mppi_gpu_tpu.ops.softmin import softmin_weights as _smw
+
+sm6 = _smw(S6, cost.lambda_)
+assert bool(jnp.isfinite(sm6.eta)) and float(sm6.eta) >= 1.0, (
+    f"softmin conditioning at K=1e6: eta={float(sm6.eta)} (the min rollout "
+    f"contributes exp(0)=1, so eta >= 1 always)"
+)
+assert abs(float(sm6.weights.sum()) - 1.0) < 1e-4, "weights must normalize at K=1e6"
+assert float(sm6.beta) == float(jnp.min(S6_real)), "beta must be the true min"
+
+# the one-pass fused core must agree with the two-kernel softmin at 1e6
+S6f, dU6f = jax.jit(
+    lambda *a: pr.pallas_fused_solve_core(*a, K=K6)
+)(dyn, cost, x0, U6, key, sigma, cost.lambda_)
+assert bool(jnp.isfinite(dU6f).all())
+_np.testing.assert_allclose(_np.asarray(S6f), _np.asarray(S6), rtol=1e-5)
+dU6 = pr.pallas_weighted_update(dyn, cost, x0, U6, key, sigma, sm6.weights, K=K6)
+rel_du = float(jnp.max(jnp.abs(dU6f - dU6)) / (jnp.max(jnp.abs(dU6)) + 1e-30))
+assert rel_du < 1e-4, f"one-pass vs two-kernel dU at K=1e6: rel={rel_du}"
+
 print("PALLAS_TPU_OK")

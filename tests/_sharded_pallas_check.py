@@ -19,8 +19,14 @@ per scenario.
 Prints SHARDED_PALLAS_OK on success.
 """
 
+import faulthandler
 import os
 import sys
+
+# self-diagnosing watchdog: when the interpreter livelocks (see module
+# docstring), dump every thread's stack to stderr and exit so the pytest
+# wrapper's retry starts immediately instead of waiting out its timeout
+faulthandler.dump_traceback_later(120, exit=True)
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
@@ -66,6 +72,13 @@ def check(K, T, a, antithetic, key_seed, x, U, cfg=None):
     assert ctrl.rollout_backend == "pallas-interpret"
     key = jax.random.key(key_seed)
     res = ctrl.solve(x, U, key)
+    # serialize the async interpret program before touching the host oracle:
+    # overlapping the interpreter's io_callback store threads with a stream
+    # of small host-side CPU dispatches (the fake_noise_tensor build) starves
+    # the shared callback/execution pool — observed as a consistent ~20x
+    # slowdown (7 s -> >120 s) with the main thread alive inside
+    # fake_noise_tensor and two store callbacks parked (faulthandler dump)
+    jax.block_until_ready(res)
 
     k_loc = K // n
     sigma = jnp.asarray(cfg.noise, jnp.float32)
@@ -140,6 +153,37 @@ elif scenario == "quadrotor":
             goal=(1.0, 0.5, 0.0, 0.0, 0.0, 0.0), cost_type="quadrotor",
             cost_w=(4.0, 4.0, 10.0, 1.5, 1.5, 2.0),
         ),
+    )
+elif scenario == "fleet":
+    # fleet × mesh × fused fleet kernel: R robots sharded as whole robots
+    # per chip (parallel/fleet.py), each shard running the fleet kernel for
+    # its robot, vs the single-device fleet with the same keys — exact
+    # per-robot local computation, so agreement is to interpreter-float
+    # tolerance
+    from mppi_gpu_tpu.batched import BatchedMPPIController
+    from mppi_gpu_tpu.parallel import ShardedFleetController
+
+    R, K, T, a = 8, 96, 6, 2
+    cfg = make_cfg(K, T, a)
+    mesh = make_mesh(8)
+    fleet = BatchedMPPIController(
+        cfg, R, rollout_backend="pallas-interpret", testmode=True
+    )
+    sharded = ShardedFleetController(
+        cfg, R, mesh=mesh, rollout_backend="pallas-interpret", testmode=True
+    )
+    xs = jnp.zeros((R, 2 * a), jnp.float32).at[:, 0].set(
+        0.1 * jnp.arange(R, dtype=jnp.float32)
+    )
+    Us = fleet.init_action_seqs()
+    keys = fleet.init_keys()
+    ref = fleet.solve_batch(xs, Us, keys)
+    got = sharded.solve_batch(xs, Us, keys)
+    np.testing.assert_allclose(
+        np.asarray(got.u_next), np.asarray(ref.u_next), rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.info.costs), np.asarray(ref.info.costs), rtol=1e-5
     )
 else:
     raise SystemExit(f"unknown scenario {scenario!r}")

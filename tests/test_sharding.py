@@ -102,7 +102,7 @@ def test_sharded_rejects_uneven_K(mesh8):
         )
 
 
-@pytest.mark.parametrize("scenario", ["iid", "anti", "pendulum", "quadrotor"])
+@pytest.mark.parametrize("scenario", ["iid", "anti", "pendulum", "quadrotor", "fleet"])
 @pytest.mark.mesh_subprocess
 def test_sharded_pallas_testmode_matches_oracle(scenario):
     """THE production multi-chip configuration — the two-kernel Pallas path
