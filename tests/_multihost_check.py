@@ -38,7 +38,10 @@ assert is_coordinator()
 assert init_multihost() == (0, 1)
 
 mesh = global_mesh()
-assert mesh.devices.size == 8, mesh
+n_dev = int(
+    os.environ["XLA_FLAGS"].rsplit("xla_force_host_platform_device_count=", 1)[1].split()[0]
+)
+assert mesh.devices.size == n_dev, (mesh, n_dev)
 
 import jax.numpy as jnp
 import numpy as np
