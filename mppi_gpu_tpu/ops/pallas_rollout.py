@@ -114,6 +114,14 @@ class PallasPlan(NamedTuple):
                             # roofline-measured to remove both the second
                             # Box-Muller pass AND the per-step one-hot scatter
                             # (together ~45 % of the solve at K=10⁵, T=200)
+    planar: bool = False    # dims-on-tiles layout for the one-pass fused core:
+                            # rows = SUB whole rollout groups, one (SUB, KB)
+                            # ε/state tile PER ACTION DIM — zero sublane
+                            # padding when SUB % A != 0 (A=3 wastes 25 % of
+                            # the generated noise in the row-packed layout;
+                            # docs/kernels.md roofline). Only the fused
+                            # one-pass core and the noise dump implement it;
+                            # kernels A/B (the sharded path) stay row-packed.
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -126,6 +134,19 @@ class PallasPlan(NamedTuple):
     @property
     def Tc(self) -> int:    # horizon rounded up to the update-chunk size
         return _round_up(self.T, CH)
+
+    # ---- planar-layout geometry (valid when self.planar) -----------------
+    @property
+    def Kpg_p(self) -> int:  # padded rollouts per sublane row (planar)
+        return _round_up(_round_up(self.K, SUB) // SUB, self.KB)
+
+    @property
+    def grid_p(self) -> int:
+        return self.Kpg_p // self.KB
+
+    @property
+    def Kpad_p(self) -> int:  # total padded rollouts (planar)
+        return SUB * self.Kpg_p
 
 
 def make_plan(
@@ -140,21 +161,33 @@ def make_plan(
         raise ValueError(f"unknown fused family '{family}'; known: {sorted(FAMILIES)}")
     G = SUB // action_dim
     KB = _pick_kb(_round_up(K, G) // G, antithetic)
-    # One-pass eligibility: the ε stage buffer (Tc, SUB, KB) must fit the
-    # VMEM budget. When a smaller KB makes it fit, shrink KB — the KB choice
-    # is part of the plan (NOT a kernel-local decision) so every consumer of
-    # the same (K, T, A, …) arguments — kernels A/B, the fused core, the
-    # noise-dump kernel — shares one tile geometry and hence one PRNG stream.
+    # One-pass eligibility: the ε stage buffer (Tc, SUB, KB) — (A, Tc, SUB,
+    # KB) in the planar layout — must fit the VMEM budget. When a smaller KB
+    # makes it fit, shrink KB — the KB choice is part of the plan (NOT a
+    # kernel-local decision) so every consumer of the same (K, T, A, …)
+    # arguments — kernels A/B, the fused core, the noise-dump kernel —
+    # shares one tile geometry and hence one PRNG stream.
     onepass = os.environ.get("MPPI_PALLAS_ONEPASS", "1") != "0"
-    if onepass:
-        gran = 512 if antithetic else 256
-        # default swept on v5e at K=10⁵, T=200: 11 MB → KB=1792 (1.83 ms) vs
-        # 7 MB → KB=1024 (1.97 ms) vs 13 MB → KB=2048 (1.86 ms); v5e VMEM is
-        # ~16 MB so 11 MB leaves room for the U table + state tiles of the
-        # largest (13-tile quadrotor3d) family
-        budget = int(
-            float(os.environ.get("MPPI_PALLAS_EPS_VMEM_MB", "11")) * 2**20
-        )
+    planar = False
+    gran = 512 if antithetic else 256
+    # default swept on v5e at K=10⁵, T=200: 11 MB → KB=1792 (1.83 ms) vs
+    # 7 MB → KB=1024 (1.97 ms) vs 13 MB → KB=2048 (1.86 ms); v5e VMEM is
+    # ~16 MB so 11 MB leaves room for the U table + state tiles of the
+    # largest (13-tile quadrotor3d) family
+    budget = int(
+        float(os.environ.get("MPPI_PALLAS_EPS_VMEM_MB", "11")) * 2**20
+    )
+    if (
+        onepass
+        and os.environ.get("MPPI_PALLAS_PLANAR", "1") != "0"
+        and family in PLANAR_FAMILIES
+        and SUB % action_dim != 0
+    ):
+        cap = budget // (_round_up(T, CH) * action_dim * SUB * 4) // gran * gran
+        if cap >= gran:
+            planar = True
+            KB = min(KB, cap)
+    if onepass and not planar:
         cap = budget // (_round_up(T, CH) * SUB * 4) // gran * gran
         if cap >= gran:
             KB = min(KB, cap)
@@ -165,6 +198,7 @@ def make_plan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
         Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
         testmode=testmode, family=family, extra=extra, onepass=onepass,
+        planar=planar,
     )
 
 
@@ -910,6 +944,12 @@ FAMILIES = {
     )
 }
 
+# Families with a planar-layout (dims-on-tiles) one-pass kernel. Only
+# families whose dynamics are elementwise per action dim qualify — the
+# planar kernel integrates each dim on its own (SUB, KB) tile and couples
+# dims solely through the scalar cost accumulator.
+PLANAR_FAMILIES = ("lti", "lti-obstacle")
+
 
 def _np_cols(fam, plan: "PallasPlan") -> int:
     """Parameter-pack width for this plan (families with variable-size
@@ -1308,16 +1348,29 @@ def pallas_noise_dump(
     ou_beta: float = 0.0,
     interpret: bool = False,
     testmode: bool = False,
+    planar: bool | None = None,
 ) -> jax.Array:
     """The (T, K, a) noise tensor the fused kernels generated for `key`, in
-    ROLLOUT-RANK order — bit-identical to the stream kernels A/B consumed.
+    ROLLOUT-RANK order — bit-identical to the stream the solve consumed.
     Debug/dump path only (the reference always materializes ε,
-    src/point_mass.cu:63; here it is opt-in)."""
+    src/point_mass.cu:63; here it is opt-in).
+
+    `planar` selects which stream to replay; the default matches what the
+    solve path executes: the planar one-pass core on the single-chip
+    compiled path (`plan.planar`), the row-packed kernels A/B under the
+    interpreter (pallas_solve's interpret branch is the two-kernel path)."""
     fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
         family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
     )
+    if planar is None:
+        planar = plan.planar and not interpret
+    if planar:
+        assert plan.planar, "planar dump requested but the plan is row-packed"
+        return _planar_noise_dump(
+            dyn, cost, x0, U, key, sigma, plan, ou_beta, interpret
+        )
     ints, scal, u_tile, p = pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
     NP = _np_cols(FAMILIES[plan.family], plan)
     e = pl.pallas_call(
@@ -1524,6 +1577,10 @@ def pallas_fused_solve_core(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
         family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
     )
+    if plan.planar:
+        return _planar_fused_solve(
+            dyn, cost, x0, U, key, sigma, lambda_, plan, ou_beta, interpret
+        )
     ints, scal, u_tile, p = pack_inputs(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
     )
@@ -1589,6 +1646,399 @@ def pallas_fused_solve_core(
     if plan.anti:
         S = S[anti_rank_perm(plan)]  # rank order: real rollouts occupy [:K]
     return S, dU[: plan.A, : plan.T].T
+
+
+# --------------------------------------------------------------------------
+# Planar layout: dims on tiles, whole rollout groups on sublanes.
+#
+# The row-packed layout puts (group, dim) pairs on the 8 sublanes, wasting
+# SUB − G·A rows whenever SUB % A != 0 — at A=3 that is 25 % of all noise
+# generation and dynamics arithmetic (docs/kernels.md roofline). The planar
+# layout instead gives each ACTION DIM its own (SUB, KB) tile whose rows are
+# 8 whole rollouts: per grid step, A ε-tiles drive 8·KB rollouts with zero
+# pad rows, the per-dim action is a single SMEM scalar read (no U table, no
+# one-hot), and the per-group sublane cost reduction disappears entirely
+# (the cost accumulator's rows ARE rollouts). Implemented for the families
+# whose dynamics are elementwise per dim (PLANAR_FAMILIES); used by the
+# single-chip one-pass fused core and the noise dump — kernels A/B (the
+# sharded path) keep the row-packed layout, each self-consistent with its
+# own stream.
+# --------------------------------------------------------------------------
+
+_PLANAR_DIM_SALT = 0.733  # testmode noise: decorrelates the A per-step draws
+
+
+def _anti_perm(Kpad: int, KB: int) -> jax.Array:
+    """(Kpad,) gather indices: rank-ordered vector = lane_flat[perm], for
+    any layout whose flat index is (..., KB-lane-blocks) with antithetic
+    mirror pairs (m, m+KB/2) inside each block."""
+    half = KB // 2
+    r = jnp.arange(Kpad)
+    block, within = (r // KB) * KB, r % KB
+    m = within // 2
+    lane = jnp.where(within % 2 == 0, m, m + half)
+    return block + lane
+
+
+def _planar_lane_rank(plan: PallasPlan, i):
+    """(SUB, KB) global rollout RANK of each element in planar grid step i:
+    rank = row·Kpg_p + i·KB + lane (antithetic pairs get adjacent ranks,
+    same scheme as :func:`_lane_rank`)."""
+    KB = plan.KB
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 1)
+    if plan.anti:
+        half = KB // 2
+        m = jnp.where(lane < half, lane, lane - half)
+        lane = 2 * m + (lane >= half).astype(jnp.int32)
+    return (
+        jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0) * plan.Kpg_p
+        + i * KB
+        + lane
+    )
+
+
+def _planar_draw(t, tile, dim: int, KB: int, anti: bool, testmode: bool, sid):
+    """One (SUB, KB) standard-normal tile for action dim `dim` at step t.
+    Dims draw IN ORDER 0..A−1 each step, so the PRNG stream is a pure
+    function of the seed — the planar dump kernel replays it exactly."""
+    if testmode:
+        kb = KB // 2 if anti else KB
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, kb), 0).astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, kb), 1).astype(jnp.float32)
+        n = jnp.sin(
+            0.917 * jnp.float32(t) + 0.379 * lane + 1.37 * row
+            + 2.11 * jnp.float32(tile) + 0.547 * sid
+            + _PLANAR_DIM_SALT * jnp.float32(dim)
+        )
+    else:
+        n = _standard_normal((SUB, KB // 2 if anti else KB))
+    if anti:
+        n = jnp.concatenate([n, -n], axis=1)
+    return n
+
+
+def _planar_rollout_S(tile_i, seeds, scal_ref, u_sm, p_sm, plan: PallasPlan,
+                      eps_scrs):
+    """Planar rollout-cost phase: integrate 8·KB rollouts of an
+    elementwise-per-dim family over T, staging each dim's consumed ε in its
+    VMEM buffer `eps_scrs[dim]` (Tc, SUB, KB). Returns the K-masked
+    (SUB, KB) cost tile — rows are whole rollouts, so no group reduction.
+    `u_sm` is the (T, A) nominal sequence in SMEM (per-step action = one
+    scalar read); `p_sm` is the (A, NP) per-dim parameter pack in SMEM."""
+    A, KB, M = plan.A, plan.KB, plan.extra
+    seed0, seed1, k_true = seeds
+    _seed(seed0, seed1, tile_i)
+    dt = scal_ref[0, 0]
+    hdt2 = 0.5 * dt * dt
+    lam = scal_ref[0, 1]
+    sid = _kernel_sid(seed0, plan)
+    obstacle = plan.family == "lti-obstacle"
+
+    sig = [p_sm[i, _P_SIGMA] for i in range(A)]
+    lam_invs = [lam * p_sm[i, _P_INVS] for i in range(A)]
+    wq = [p_sm[i, 2] for i in range(A)]
+    wqd = [p_sm[i, 3] for i in range(A)]
+    gq = [p_sm[i, 4] for i in range(A)]
+    gqd = [p_sm[i, 5] for i in range(A)]
+
+    def state_cost(q, qd):
+        c = jnp.zeros((SUB, KB), jnp.float32)
+        for i in range(A):
+            dq, dqd = q[i] - gq[i], qd[i] - gqd[i]
+            c = c + wq[i] * dq * dq + wqd[i] * dqd * dqd
+        return c
+
+    def obstacle_cost(q):
+        pen = p_sm[0, 8]
+        hits = jnp.zeros((SUB, KB), jnp.float32)
+        for m in range(M):
+            d2 = jnp.zeros((SUB, KB), jnp.float32)
+            for i in range(A):
+                d = q[i] - p_sm[i, 9 + 2 * m]
+                d2 = d2 + d * d
+            hits = hits + (d2 < p_sm[0, 10 + 2 * m]).astype(jnp.float32)
+        return pen * hits
+
+    def body(t, carry):
+        q, qd, acc, e_prev = carry
+        q2, qd2, e2 = [], [], []
+        for i in range(A):
+            n = _planar_draw(t, tile_i, i, KB, plan.anti, plan.testmode, sid)
+            if plan.ou:
+                beta, c = scal_ref[0, 3], scal_ref[0, 4]
+                e = jnp.where(t == 0, n, beta * e_prev[i] + c * n)
+            else:
+                e = n
+            eps = sig[i] * e
+            eps_scrs[i][t] = eps
+            u_i = u_sm[t, i]
+            ue = u_i + eps
+            qi = q[i] + dt * qd[i] + hdt2 * ue
+            qdi = qd[i] + dt * ue
+            acc = acc + (lam_invs[i] * u_i) * eps
+            q2.append(qi)
+            qd2.append(qdi)
+            e2.append(e)
+        q2, qd2 = tuple(q2), tuple(qd2)
+        acc = acc + state_cost(q2, qd2)
+        if obstacle:
+            acc = acc + obstacle_cost(q2)
+        return q2, qd2, acc, tuple(e2)
+
+    zero = jnp.zeros((SUB, KB), jnp.float32)
+    q0 = tuple(jnp.full((SUB, KB), p_sm[i, 6], jnp.float32) for i in range(A))
+    qd0 = tuple(jnp.full((SUB, KB), p_sm[i, 7], jnp.float32) for i in range(A))
+    q, qd, acc, _ = jax.lax.fori_loop(
+        0, plan.T, body, (q0, qd0, zero, tuple(zero for _ in range(A)))
+    )
+    acc = acc + state_cost(q, qd)  # terminal double-count (reference parity)
+    if obstacle:
+        acc = acc + obstacle_cost(q)
+    return jnp.where(_planar_lane_rank(plan, tile_i) < k_true, acc, jnp.float32(BIG))
+
+
+def _planar_update_from_buf(w_tile, eps_scrs, plan: PallasPlan):
+    """Planar one-pass weighted update: ΔU contribution of THIS tile read
+    back from the per-dim ε stage buffers — ΔU[t, i] = Σ over the full
+    (SUB, KB) tile of w ⊙ ε_i[t], chunked CH steps at a time."""
+    KB, T, Tc, Tpad = plan.KB, plan.T, plan.Tc, plan.Tpad
+    w_big = jnp.broadcast_to(w_tile[None], (CH, SUB, KB)).reshape(CH * SUB, KB)
+    rows = []
+    for scr in eps_scrs:
+        blocks = []
+        for c in range(0, Tc, CH):
+            slab = scr[c:c + CH].reshape(CH * SUB, KB)
+            prod = w_big * slab
+            if c + CH > T:
+                # tail chunk: rows of steps ≥ T hold stale buffer contents
+                row_t = jax.lax.broadcasted_iota(jnp.int32, (CH * SUB, KB), 0) // SUB
+                prod = jnp.where(c + row_t < T, prod, 0.0)
+            red = jnp.sum(prod, axis=1, keepdims=True)        # (CH·SUB, 1)
+            blk = red.reshape(CH, SUB)
+            blocks.append(jnp.sum(blk, axis=1, keepdims=True).T)  # (1, CH)
+        rows.append(jnp.concatenate(blocks, axis=1))          # (1, Tc)
+    du = jnp.concatenate(rows, axis=0)                        # (A, Tc)
+    return jnp.pad(du, ((0, SUB - plan.A), (0, Tpad - Tc)))   # (SUB, Tpad)
+
+
+def _planar_onepass_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
+    u_sm,       # SMEM (T, A) f32:  nominal U (per-step scalar reads)
+    p_sm,       # SMEM (A, NP) f32: per-dim parameter pack
+    s_ref,      # out VMEM (SUB, KB) blocks: per-rollout costs
+    du_ref,     # out VMEM (SUB, Tpad): ΔU
+    *scratches, # A × VMEM (Tc, SUB, KB) ε stages, SMEM (1,2) run, VMEM acc
+    plan: PallasPlan,
+):
+    """Planar one-pass MPPI solve — the same online-softmin sweep as
+    :func:`_onepass_solve_kernel` on the planar layout."""
+    eps_scrs = scratches[: plan.A]
+    run_scr, acc_scr = scratches[plan.A], scratches[plan.A + 1]
+    i = pl.program_id(0)
+    lam = scal_ref[0, 2]
+    seeds = (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2])
+
+    @pl.when(i == 0)
+    def _():
+        acc_scr[:, :] = jnp.zeros_like(acc_scr)
+        run_scr[0, 0] = jnp.float32(BIG)   # β_run
+        run_scr[0, 1] = jnp.float32(0.0)   # η_run
+
+    S = _planar_rollout_S(i, seeds, scal_ref, u_sm, p_sm, plan, eps_scrs)
+    s_ref[:, :] = S
+    b_old = run_scr[0, 0]
+    b_new = jnp.minimum(b_old, jnp.min(S))
+    f = jnp.exp((b_new - b_old) / lam)                 # ≤ 1; 0 on tile 0
+    w_tile = jnp.exp(-(S - b_new) / lam)               # pad ranks underflow to 0
+    run_scr[0, 0] = b_new
+    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
+    acc_scr[:, :] = f * acc_scr[:, :] + _planar_update_from_buf(w_tile, eps_scrs, plan)
+
+    @pl.when(i == plan.grid_p - 1)
+    def _():
+        du_ref[:, :] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+
+
+def _planar_pack(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
+                 softmin_lambda=None, ou_beta: float = 0.0):
+    """SMEM-side packing for the planar kernels: same ints/scal words as
+    :func:`pack_inputs`, U as a (T, A) scalar table, params as (A, NP)
+    per-dim rows (obstacle: cols 8 = penalty, 9+2m = center_m[dim],
+    10+2m = radius_m² — scalars replicated across rows where not per-dim)."""
+    A, T = plan.A, plan.T
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    seeds = jax.lax.bitcast_convert_type(kd[:2], jnp.int32)
+    ints = jnp.concatenate([seeds, jnp.array([plan.K, T], jnp.int32)]).reshape(1, 4)
+    lam_sm = cost.lambda_ if softmin_lambda is None else softmin_lambda
+    ou_c = (1.0 - float(ou_beta) ** 2) ** 0.5
+    scal = jnp.stack(
+        [
+            dyn.dt.astype(jnp.float32),
+            cost.lambda_.astype(jnp.float32),
+            jnp.asarray(lam_sm, jnp.float32),
+            jnp.float32(ou_beta),
+            jnp.float32(ou_c),
+        ]
+    ).reshape(1, 5)
+    u_sm = U.astype(jnp.float32)  # (T, A)
+
+    base = cost.base if plan.family == "lti-obstacle" else cost
+    w = base.w.astype(jnp.float32)
+    g = base.goal.astype(jnp.float32)
+    x0 = jnp.broadcast_to(x0, (2 * A,)).astype(jnp.float32)
+    perdim = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (A,))  # noqa: E731
+    cols = [
+        perdim(sigma), perdim(base.inv_s),
+        w[:A], w[A:], g[:A], g[A:], x0[:A], x0[A:],
+    ]
+    if plan.family == "lti-obstacle":
+        cols.append(perdim(cost.penalty))
+        for m in range(plan.extra):
+            cols.append(cost.centers[m].astype(jnp.float32))
+            cols.append(perdim(cost.radii[m] ** 2))
+    p_sm = jnp.stack(cols, axis=1)  # (A, NP)
+    return ints, scal, u_sm, p_sm
+
+
+def _planar_fused_solve(
+    dyn, cost, x0, U, key, sigma, lambda_, plan: PallasPlan, ou_beta: float,
+    interpret: bool,
+):
+    """Planar one-pass solve core: (S (Kpad_p,) rank-ordered, ΔU (T, a))."""
+    ints, scal, u_sm, p_sm = _planar_pack(
+        dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_,
+        ou_beta=ou_beta,
+    )
+    S, dU = pl.pallas_call(
+        functools.partial(_planar_onepass_kernel, plan=plan),
+        grid=(plan.grid_p,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((SUB, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((SUB, plan.Kpg_p), jnp.float32),
+            jax.ShapeDtypeStruct((SUB, plan.Tpad), jnp.float32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((plan.Tc, SUB, plan.KB), jnp.float32) for _ in range(plan.A)]
+            + [pltpu.SMEM((1, 2), jnp.float32), pltpu.VMEM((SUB, plan.Tpad), jnp.float32)]
+        ),
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET if interpret else False,
+    )(ints, scal, u_sm, p_sm)
+    S = S.reshape(plan.Kpad_p)
+    if plan.anti:
+        S = S[_anti_perm(plan.Kpad_p, plan.KB)]
+    return S, dU[: plan.A, : plan.T].T
+
+
+def _planar_noise_dump_kernel(
+    ints_ref,   # SMEM (1, 4)
+    scal_ref,   # SMEM (1, 5)
+    e_ref,      # out VMEM (1, A, SUB, KB): this (t, tile)'s per-dim ε blocks
+    *ep_scrs,   # A × VMEM (SUB, KB): OU e_{t−1} per dim
+    plan: PallasPlan,
+):
+    """Planar kernel D: replay the planar PRNG stream to HBM (dims drawn in
+    the same 0..A−1 per-step order as :func:`_planar_rollout_S`)."""
+    i, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        _seed(ints_ref[0, 0], ints_ref[0, 1], i)
+        for scr in ep_scrs:
+            scr[:, :] = jnp.zeros_like(scr)
+
+    sid = _kernel_sid(ints_ref[0, 0], plan)
+    for dim in range(plan.A):
+        n = _planar_draw(t, i, dim, plan.KB, plan.anti, plan.testmode, sid)
+        if plan.ou:
+            beta, c = scal_ref[0, 3], scal_ref[0, 4]
+            e = jnp.where(t == 0, n, beta * ep_scrs[dim][:, :] + c * n)
+            ep_scrs[dim][:, :] = e
+        else:
+            e = n
+        e_ref[0, dim] = e
+
+
+def _planar_noise_dump(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
+                       ou_beta: float, interpret: bool) -> jax.Array:
+    """(T, K, a) ε tensor of the PLANAR stream in rollout-rank order —
+    bit-identical to what :func:`_planar_fused_solve` consumed."""
+    ints, scal, _, _ = _planar_pack(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
+    e = pl.pallas_call(
+        functools.partial(_planar_noise_dump_kernel, plan=plan),
+        grid=(plan.grid_p, plan.T),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, plan.A, SUB, plan.KB), lambda i, t: (t, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (plan.T, plan.A, SUB, plan.Kpg_p), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, plan.KB), jnp.float32) for _ in range(plan.A)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),  # sequential: PRNG state
+        ),
+        interpret=_INTERPRET if interpret else False,
+    )(ints, scal)
+    # (T, A, SUB, Kpg_p) → (T, Kpad_p, A): rank k = row·Kpg_p + flat-lane
+    eps = jnp.transpose(e, (0, 2, 3, 1)).reshape(plan.T, plan.Kpad_p, plan.A)
+    if plan.anti:
+        eps = eps[:, _anti_perm(plan.Kpad_p, plan.KB), :]
+    sig = jnp.broadcast_to(sigma, (plan.A,)).astype(jnp.float32)
+    return (sig * eps)[:, : plan.K, :]
+
+
+def planar_fake_noise_tensor(
+    plan: PallasPlan, sigma, ou_beta: float = 0.0, key: jax.Array | None = None
+) -> jax.Array:
+    """Host twin of the PLANAR testmode noise: (T, Kpad_p, A) ε in
+    rollout-rank order (the planar analog of :func:`fake_noise_tensor`)."""
+    assert plan.testmode and plan.planar
+    T, A, KB, Kpg = plan.T, plan.A, plan.KB, plan.Kpg_p
+    sid = _seed_stream_id(key if key is not None else jax.random.key(0))
+    k = _anti_perm(plan.Kpad_p, KB) if plan.anti else jnp.arange(plan.Kpad_p)
+    row, rem = k // Kpg, k % Kpg
+    tile, lane = rem // KB, rem % KB
+    if plan.anti:
+        half = KB // 2
+        sign = jnp.where(lane < half, 1.0, -1.0)
+        lane = jnp.where(lane < half, lane, lane - half)
+    else:
+        sign = jnp.ones_like(lane, jnp.float32)
+    t = jnp.arange(T, dtype=jnp.float32)[:, None, None]
+    dim = jnp.arange(A, dtype=jnp.float32)[None, None, :]
+    n = sign[None, :, None] * jnp.sin(
+        0.917 * t + 0.379 * lane[None, :, None].astype(jnp.float32)
+        + 1.37 * row[None, :, None].astype(jnp.float32)
+        + 2.11 * tile[None, :, None].astype(jnp.float32)
+        + 0.547 * sid + _PLANAR_DIM_SALT * dim
+    )                                                         # (T, Kpad_p, A)
+    if ou_beta:
+        c = (1.0 - ou_beta**2) ** 0.5
+
+        def body(prev, nt):
+            e = ou_beta * prev + c * nt
+            return e, e
+
+        _, tail = jax.lax.scan(body, n[0], n[1:])
+        n = jnp.concatenate([n[:1], tail], axis=0)
+    return jnp.broadcast_to(sigma, (A,)) * n
 
 
 def _fleet_fused_solve_kernel(

@@ -746,3 +746,96 @@ def test_lane_rank_is_a_bijection_and_perm_inverts_it(A, K):
             for g in range(min(plan.G, 2)):
                 t0 = np.asarray(pr._lane_rank(plan, 0))[g]
                 np.testing.assert_array_equal(t0[half:] - t0[:half], 1)
+
+
+# ---------------------------------------------------------------------------
+# Planar layout (dims-on-tiles) — the zero-sublane-waste one-pass core that
+# `auto` runs on a TPU single chip for the LTI families at A ∈ {3, 5, 6, 7}
+# (SUB % A != 0; see docs/kernels.md). Verified against the scan oracle fed
+# the planar host-twin noise, plus dump-replay identity.
+
+
+def _planar_case(A=3, T=11, K=530, anti=False, ou=0.0, obstacle=False, M=0):
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    if obstacle:
+        dyn, cost, x0, U, sigma = _setup_obstacle(T, K, A, M)
+        fam, extra = "lti-obstacle", M
+    else:
+        dyn, cost, x0, U, sigma = _setup(A, T, K)
+        fam, extra = "lti", 0
+    key, lam = jax.random.key(21), jnp.float32(0.9)
+    plan = pr.make_plan(K, T, A, antithetic=anti, ou_beta=ou, testmode=True,
+                        family=fam, extra=extra)
+    assert plan.planar, "case must exercise the planar layout"
+    eps_ref = pr.planar_fake_noise_tensor(plan, sigma, ou_beta=ou, key=key)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, antithetic=anti, ou_beta=ou,
+        testmode=True, interpret=True,
+    )
+    assert Sf.shape == (plan.Kpad_p,)
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(S_oracle), rtol=3e-5)
+    assert np.all(np.asarray(Sf[K:]) > 1e37)  # planar padding carries BIG
+    sm = softmin_weights(Sf, lam)
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], sm.weights[:K])
+    np.testing.assert_allclose(np.asarray(dUf), np.asarray(dU_oracle),
+                               rtol=2e-4, atol=1e-6)
+    return dyn, cost, x0, U, sigma, key, plan, eps_ref
+
+
+def test_planar_fused_solve_matches_oracle():
+    _planar_case()
+
+
+def test_planar_fused_solve_antithetic():
+    """Mirror pairs and rank-based K-masking on the planar layout."""
+    _planar_case(K=514, anti=True)
+
+
+def test_planar_fused_solve_ou_noise():
+    _planar_case(ou=0.55)
+
+
+def test_planar_fused_solve_obstacle():
+    """lti-obstacle planar core: the penalty indicator over per-dim q tiles
+    must fire and match the scan oracle."""
+    dyn, cost, x0, U, sigma, key, plan, eps_ref = _planar_case(
+        A=3, K=420, obstacle=True, M=2
+    )
+    S_pen = rollout_costs(dyn, cost, x0, U, eps_ref[:, :420, :])
+    S_plain = rollout_costs(dyn, cost.base, x0, U, eps_ref[:, :420, :])
+    assert float(jnp.max(S_pen - S_plain)) >= 50.0  # not vacuous
+
+
+@pytest.mark.parametrize("anti,ou", [(False, 0.0), (True, 0.0), (False, 0.6)])
+def test_planar_noise_dump_matches_host_twin(anti, ou):
+    """The planar dump kernel replays the planar stream exactly (testmode:
+    the host twin IS the stream)."""
+    A, T, K = 3, 9, 260
+    dyn, cost, x0, U, sigma = _setup(A, T, K)
+    key = jax.random.key(5)
+    plan = pr.make_plan(K, T, A, antithetic=anti, ou_beta=ou, testmode=True)
+    assert plan.planar
+    eps = pr.pallas_noise_dump(
+        dyn, cost, x0, U, key, sigma, K=K, antithetic=anti, ou_beta=ou,
+        interpret=True, testmode=True, planar=True,
+    )
+    eps_ref = pr.planar_fake_noise_tensor(plan, sigma, ou_beta=ou, key=key)
+    np.testing.assert_allclose(
+        np.asarray(eps), np.asarray(eps_ref[:, :K, :]), rtol=1e-6, atol=1e-7
+    )
+
+
+def test_planar_plan_eligibility():
+    """planar only for LTI families at SUB % A != 0, shrinking KB to fit the
+    A-fold stage buffer; row-packed otherwise."""
+    assert pr.make_plan(1000, 20, 3).planar
+    assert pr.make_plan(1000, 20, 5).planar
+    assert not pr.make_plan(1000, 20, 2).planar           # no waste at A=2
+    assert not pr.make_plan(1000, 20, 4).planar
+    assert not pr.make_plan(1000, 20, 1, family="pendulum").planar  # not a planar family
+    p = pr.make_plan(100_000, 200, 3)
+    assert p.planar and p.Kpad_p >= 100_000 and p.Kpg_p % p.KB == 0
+    # planar stage buffer fits the budget: A * Tc * SUB * KB * 4 <= 11 MB
+    assert p.A * p.Tc * 8 * p.KB * 4 <= 11.5 * 2**20
