@@ -115,13 +115,16 @@ class PallasPlan(NamedTuple):
                             # Box-Muller pass AND the per-step one-hot scatter
                             # (together ~45 % of the solve at K=10⁵, T=200)
     planar: bool = False    # dims-on-tiles layout for the one-pass fused core:
-                            # rows = SUB whole rollout groups, one (SUB, KB)
+                            # rows = SUB whole rollout groups, one (SUB, KBp)
                             # ε/state tile PER ACTION DIM — zero sublane
                             # padding when SUB % A != 0 (A=3 wastes 25 % of
                             # the generated noise in the row-packed layout;
                             # docs/kernels.md roofline). Only the fused
                             # one-pass core and the noise dump implement it;
                             # kernels A/B (the sharded path) stay row-packed.
+    KBp: int = 0            # planar lane count (the A-fold ε stage shrinks it
+                            # independently of KB, so the row-packed kernels
+                            # keep their own swept-optimal tile width)
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -138,11 +141,11 @@ class PallasPlan(NamedTuple):
     # ---- planar-layout geometry (valid when self.planar) -----------------
     @property
     def Kpg_p(self) -> int:  # padded rollouts per sublane row (planar)
-        return _round_up(_round_up(self.K, SUB) // SUB, self.KB)
+        return _round_up(_round_up(self.K, SUB) // SUB, self.KBp)
 
     @property
     def grid_p(self) -> int:
-        return self.Kpg_p // self.KB
+        return self.Kpg_p // self.KBp
 
     @property
     def Kpad_p(self) -> int:  # total padded rollouts (planar)
@@ -168,7 +171,7 @@ def make_plan(
     # arguments — kernels A/B, the fused core, the noise-dump kernel —
     # shares one tile geometry and hence one PRNG stream.
     onepass = os.environ.get("MPPI_PALLAS_ONEPASS", "1") != "0"
-    planar = False
+    planar, KBp = False, 0
     gran = 512 if antithetic else 256
     # default swept on v5e at K=10⁵, T=200: 11 MB → KB=1792 (1.83 ms) vs
     # 7 MB → KB=1024 (1.97 ms) vs 13 MB → KB=2048 (1.86 ms); v5e VMEM is
@@ -183,22 +186,24 @@ def make_plan(
         and family in PLANAR_FAMILIES
         and SUB % action_dim != 0
     ):
+        # planar lane count: its own budget cut (A stage buffers), its own
+        # field — the row-packed kernels (A/B, the sharded path) keep KB
         cap = budget // (_round_up(T, CH) * action_dim * SUB * 4) // gran * gran
         if cap >= gran:
             planar = True
-            KB = min(KB, cap)
-    if onepass and not planar:
+            KBp = min(KB, cap)
+    if onepass:
         cap = budget // (_round_up(T, CH) * SUB * 4) // gran * gran
         if cap >= gran:
             KB = min(KB, cap)
-        else:
+        elif not planar:
             onepass = False  # horizon too long to stage ε — two-pass fallback
     Kpg = _round_up(_round_up(K, G) // G, KB)
     return PallasPlan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
         Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
         testmode=testmode, family=family, extra=extra, onepass=onepass,
-        planar=planar,
+        planar=planar, KBp=KBp,
     )
 
 
@@ -1682,9 +1687,9 @@ def _anti_perm(Kpad: int, KB: int) -> jax.Array:
 
 def _planar_lane_rank(plan: PallasPlan, i):
     """(SUB, KB) global rollout RANK of each element in planar grid step i:
-    rank = row·Kpg_p + i·KB + lane (antithetic pairs get adjacent ranks,
+    rank = row·Kpg_p + i·KBp + lane (antithetic pairs get adjacent ranks,
     same scheme as :func:`_lane_rank`)."""
-    KB = plan.KB
+    KB = plan.KBp
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 1)
     if plan.anti:
         half = KB // 2
@@ -1717,15 +1722,16 @@ def _planar_draw(t, tile, dim: int, KB: int, anti: bool, testmode: bool, sid):
     return n
 
 
-def _planar_rollout_S(tile_i, seeds, scal_ref, u_sm, p_sm, plan: PallasPlan,
+def _planar_rollout_S(tile_i, seeds, scal_ref, u_at, p_at, plan: PallasPlan,
                       eps_scrs):
     """Planar rollout-cost phase: integrate 8·KB rollouts of an
     elementwise-per-dim family over T, staging each dim's consumed ε in its
     VMEM buffer `eps_scrs[dim]` (Tc, SUB, KB). Returns the K-masked
     (SUB, KB) cost tile — rows are whole rollouts, so no group reduction.
-    `u_sm` is the (T, A) nominal sequence in SMEM (per-step action = one
-    scalar read); `p_sm` is the (A, NP) per-dim parameter pack in SMEM."""
-    A, KB, M = plan.A, plan.KB, plan.extra
+    `u_at(t, i)` yields the step-t dim-i nominal action (scalar or (1, 1)
+    array — the single-robot kernel reads SMEM scalars, the fleet kernel
+    slices a VMEM table); `p_at(i, col)` yields the per-dim parameters."""
+    A, KB, M = plan.A, plan.KBp, plan.extra
     seed0, seed1, k_true = seeds
     _seed(seed0, seed1, tile_i)
     dt = scal_ref[0, 0]
@@ -1734,12 +1740,12 @@ def _planar_rollout_S(tile_i, seeds, scal_ref, u_sm, p_sm, plan: PallasPlan,
     sid = _kernel_sid(seed0, plan)
     obstacle = plan.family == "lti-obstacle"
 
-    sig = [p_sm[i, _P_SIGMA] for i in range(A)]
-    lam_invs = [lam * p_sm[i, _P_INVS] for i in range(A)]
-    wq = [p_sm[i, 2] for i in range(A)]
-    wqd = [p_sm[i, 3] for i in range(A)]
-    gq = [p_sm[i, 4] for i in range(A)]
-    gqd = [p_sm[i, 5] for i in range(A)]
+    sig = [p_at(i, _P_SIGMA) for i in range(A)]
+    lam_invs = [lam * p_at(i, _P_INVS) for i in range(A)]
+    wq = [p_at(i, 2) for i in range(A)]
+    wqd = [p_at(i, 3) for i in range(A)]
+    gq = [p_at(i, 4) for i in range(A)]
+    gqd = [p_at(i, 5) for i in range(A)]
 
     def state_cost(q, qd):
         c = jnp.zeros((SUB, KB), jnp.float32)
@@ -1749,14 +1755,14 @@ def _planar_rollout_S(tile_i, seeds, scal_ref, u_sm, p_sm, plan: PallasPlan,
         return c
 
     def obstacle_cost(q):
-        pen = p_sm[0, 8]
+        pen = p_at(0, 8)
         hits = jnp.zeros((SUB, KB), jnp.float32)
         for m in range(M):
             d2 = jnp.zeros((SUB, KB), jnp.float32)
             for i in range(A):
-                d = q[i] - p_sm[i, 9 + 2 * m]
+                d = q[i] - p_at(i, 9 + 2 * m)
                 d2 = d2 + d * d
-            hits = hits + (d2 < p_sm[0, 10 + 2 * m]).astype(jnp.float32)
+            hits = hits + (d2 < p_at(0, 10 + 2 * m)).astype(jnp.float32)
         return pen * hits
 
     def body(t, carry):
@@ -1771,7 +1777,7 @@ def _planar_rollout_S(tile_i, seeds, scal_ref, u_sm, p_sm, plan: PallasPlan,
                 e = n
             eps = sig[i] * e
             eps_scrs[i][t] = eps
-            u_i = u_sm[t, i]
+            u_i = u_at(t, i)
             ue = u_i + eps
             qi = q[i] + dt * qd[i] + hdt2 * ue
             qdi = qd[i] + dt * ue
@@ -1786,8 +1792,8 @@ def _planar_rollout_S(tile_i, seeds, scal_ref, u_sm, p_sm, plan: PallasPlan,
         return q2, qd2, acc, tuple(e2)
 
     zero = jnp.zeros((SUB, KB), jnp.float32)
-    q0 = tuple(jnp.full((SUB, KB), p_sm[i, 6], jnp.float32) for i in range(A))
-    qd0 = tuple(jnp.full((SUB, KB), p_sm[i, 7], jnp.float32) for i in range(A))
+    q0 = tuple(jnp.broadcast_to(jnp.asarray(p_at(i, 6), jnp.float32), (SUB, KB)) for i in range(A))
+    qd0 = tuple(jnp.broadcast_to(jnp.asarray(p_at(i, 7), jnp.float32), (SUB, KB)) for i in range(A))
     q, qd, acc, _ = jax.lax.fori_loop(
         0, plan.T, body, (q0, qd0, zero, tuple(zero for _ in range(A)))
     )
@@ -1800,8 +1806,8 @@ def _planar_rollout_S(tile_i, seeds, scal_ref, u_sm, p_sm, plan: PallasPlan,
 def _planar_update_from_buf(w_tile, eps_scrs, plan: PallasPlan):
     """Planar one-pass weighted update: ΔU contribution of THIS tile read
     back from the per-dim ε stage buffers — ΔU[t, i] = Σ over the full
-    (SUB, KB) tile of w ⊙ ε_i[t], chunked CH steps at a time."""
-    KB, T, Tc, Tpad = plan.KB, plan.T, plan.Tc, plan.Tpad
+    (SUB, KBp) tile of w ⊙ ε_i[t], chunked CH steps at a time."""
+    KB, T, Tc, Tpad = plan.KBp, plan.T, plan.Tc, plan.Tpad
     w_big = jnp.broadcast_to(w_tile[None], (CH, SUB, KB)).reshape(CH * SUB, KB)
     rows = []
     for scr in eps_scrs:
@@ -1845,7 +1851,10 @@ def _planar_onepass_kernel(
         run_scr[0, 0] = jnp.float32(BIG)   # β_run
         run_scr[0, 1] = jnp.float32(0.0)   # η_run
 
-    S = _planar_rollout_S(i, seeds, scal_ref, u_sm, p_sm, plan, eps_scrs)
+    S = _planar_rollout_S(
+        i, seeds, scal_ref,
+        lambda t, d: u_sm[t, d], lambda d, c: p_sm[d, c], plan, eps_scrs,
+    )
     s_ref[:, :] = S
     b_old = run_scr[0, 0]
     b_new = jnp.minimum(b_old, jnp.min(S))
@@ -1920,7 +1929,7 @@ def _planar_fused_solve(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((SUB, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, plan.KBp), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -1928,7 +1937,7 @@ def _planar_fused_solve(
             jax.ShapeDtypeStruct((SUB, plan.Tpad), jnp.float32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((plan.Tc, SUB, plan.KB), jnp.float32) for _ in range(plan.A)]
+            [pltpu.VMEM((plan.Tc, SUB, plan.KBp), jnp.float32) for _ in range(plan.A)]
             + [pltpu.SMEM((1, 2), jnp.float32), pltpu.VMEM((SUB, plan.Tpad), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -1936,7 +1945,7 @@ def _planar_fused_solve(
     )(ints, scal, u_sm, p_sm)
     S = S.reshape(plan.Kpad_p)
     if plan.anti:
-        S = S[_anti_perm(plan.Kpad_p, plan.KB)]
+        S = S[_anti_perm(plan.Kpad_p, plan.KBp)]
     return S, dU[: plan.A, : plan.T].T
 
 
@@ -1959,7 +1968,7 @@ def _planar_noise_dump_kernel(
 
     sid = _kernel_sid(ints_ref[0, 0], plan)
     for dim in range(plan.A):
-        n = _planar_draw(t, i, dim, plan.KB, plan.anti, plan.testmode, sid)
+        n = _planar_draw(t, i, dim, plan.KBp, plan.anti, plan.testmode, sid)
         if plan.ou:
             beta, c = scal_ref[0, 3], scal_ref[0, 4]
             e = jnp.where(t == 0, n, beta * ep_scrs[dim][:, :] + c * n)
@@ -1982,14 +1991,14 @@ def _planar_noise_dump(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, plan.A, SUB, plan.KB), lambda i, t: (t, 0, 0, i),
+            (1, plan.A, SUB, plan.KBp), lambda i, t: (t, 0, 0, i),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (plan.T, plan.A, SUB, plan.Kpg_p), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((SUB, plan.KB), jnp.float32) for _ in range(plan.A)
+            pltpu.VMEM((SUB, plan.KBp), jnp.float32) for _ in range(plan.A)
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),  # sequential: PRNG state
@@ -1999,7 +2008,7 @@ def _planar_noise_dump(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
     # (T, A, SUB, Kpg_p) → (T, Kpad_p, A): rank k = row·Kpg_p + flat-lane
     eps = jnp.transpose(e, (0, 2, 3, 1)).reshape(plan.T, plan.Kpad_p, plan.A)
     if plan.anti:
-        eps = eps[:, _anti_perm(plan.Kpad_p, plan.KB), :]
+        eps = eps[:, _anti_perm(plan.Kpad_p, plan.KBp), :]
     sig = jnp.broadcast_to(sigma, (plan.A,)).astype(jnp.float32)
     return (sig * eps)[:, : plan.K, :]
 
@@ -2010,7 +2019,7 @@ def planar_fake_noise_tensor(
     """Host twin of the PLANAR testmode noise: (T, Kpad_p, A) ε in
     rollout-rank order (the planar analog of :func:`fake_noise_tensor`)."""
     assert plan.testmode and plan.planar
-    T, A, KB, Kpg = plan.T, plan.A, plan.KB, plan.Kpg_p
+    T, A, KB, Kpg = plan.T, plan.A, plan.KBp, plan.Kpg_p
     sid = _seed_stream_id(key if key is not None else jax.random.key(0))
     k = _anti_perm(plan.Kpad_p, KB) if plan.anti else jnp.arange(plan.Kpad_p)
     row, rem = k // Kpg, k % Kpg
@@ -2094,6 +2103,104 @@ def _fleet_fused_solve_kernel(
             du_ref[0] = acc_scr[:, :]
 
 
+def _planar_fleet_solve(dyn, cost, xs, Us, keys, sigma, lambda_,
+                        plan: PallasPlan, ou_beta, interpret, cost_axes):
+    """Planar fleet core: (S (R, Kpad_p) rank-ordered, ΔU (R, T, a))."""
+    R, T, A = Us.shape
+
+    def pack1(c, x0, U, key):
+        return _planar_pack(
+            dyn, c, x0, U, key, sigma, plan,
+            softmin_lambda=lambda_, ou_beta=ou_beta,
+        )
+
+    ints, scal, u_sm, p_sm = jax.vmap(pack1, in_axes=(cost_axes, 0, 0, 0))(
+        cost, xs, Us, keys
+    )
+    ints = ints.reshape(R, 4)
+    scal = scal[0]  # (1, 5): fleet-wide by construction
+    S, dU = pl.pallas_call(
+        functools.partial(_planar_fleet_onepass_kernel, plan=plan),
+        grid=(R, plan.grid_p),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # robot r's (T, A) nominal sequence windowed into SMEM — scalar
+            # per-step reads exactly like the single-robot planar kernel
+            # (a VMEM table would need a (1,1)->(8,KB) vector broadcast,
+            # which Mosaic cannot lower)
+            pl.BlockSpec((1, T, A), lambda r, i: (r, 0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, SUB, plan.KBp), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, SUB, plan.Kpg_p), jnp.float32),
+            jax.ShapeDtypeStruct((R, SUB, plan.Tpad), jnp.float32),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((plan.Tc, SUB, plan.KBp), jnp.float32) for _ in range(plan.A)]
+            + [pltpu.SMEM((1, 2), jnp.float32), pltpu.VMEM((SUB, plan.Tpad), jnp.float32)]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),  # sequential: scratch reuse
+        ),
+        interpret=_INTERPRET if interpret else False,
+    )(ints, scal, p_sm, u_sm)
+    S = S.reshape(R, plan.Kpad_p)
+    if plan.anti:
+        S = S[:, _anti_perm(plan.Kpad_p, plan.KBp)]
+    return S, jnp.swapaxes(dU[:, :A, :T], 1, 2)  # (R, T, a)
+
+
+def _planar_fleet_onepass_kernel(
+    ints_ref,   # SMEM (R, 4) int32: per-robot [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32 (fleet-wide)
+    p_ref,      # SMEM (R, A, NP) f32: per-robot per-dim parameter packs
+    u_sm,       # SMEM (1, T, A): robot r's nominal sequence (windowed)
+    s_ref,      # out VMEM (1, SUB, KB): robot r's tile-i costs
+    du_ref,     # out VMEM (1, SUB, Tpad): robot r's ΔU
+    *scratches, # A × VMEM (Tc, SUB, KB) ε stages, SMEM (1,2) run, VMEM acc
+    plan: PallasPlan,
+):
+    """Planar fleet solve: grid (R, grid_p) — robot r's planar online-softmin
+    sweep, per-robot data via the SMEM seed/param rows and a BlockSpec-
+    windowed SMEM view of robot r's nominal sequence (scalar per-step
+    reads, as in the single-robot planar kernel)."""
+    eps_scrs = scratches[: plan.A]
+    run_scr, acc_scr = scratches[plan.A], scratches[plan.A + 1]
+    r, i = pl.program_id(0), pl.program_id(1)
+    lam = scal_ref[0, 2]
+    seeds = (ints_ref[r, 0], ints_ref[r, 1], ints_ref[r, 2])
+
+    @pl.when(i == 0)
+    def _():
+        acc_scr[:, :] = jnp.zeros_like(acc_scr)
+        run_scr[0, 0] = jnp.float32(BIG)   # β_run
+        run_scr[0, 1] = jnp.float32(0.0)   # η_run
+
+    S = _planar_rollout_S(
+        i, seeds, scal_ref,
+        lambda t, d: u_sm[0, t, d],
+        lambda d, c: p_ref[r, d, c],
+        plan, eps_scrs,
+    )
+    s_ref[0] = S
+    b_old = run_scr[0, 0]
+    b_new = jnp.minimum(b_old, jnp.min(S))
+    f = jnp.exp((b_new - b_old) / lam)
+    w_tile = jnp.exp(-(S - b_new) / lam)
+    run_scr[0, 0] = b_new
+    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
+    acc_scr[:, :] = f * acc_scr[:, :] + _planar_update_from_buf(w_tile, eps_scrs, plan)
+
+    @pl.when(i == plan.grid_p - 1)
+    def _():
+        du_ref[0] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+
+
 def _fleet_onepass_solve_kernel(
     ints_ref,   # SMEM (R, 4) int32: per-robot [seed0, seed1, K, T]
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)] (shared)
@@ -2171,6 +2278,12 @@ def pallas_fleet_solve_core(
     )
     if cost_axes is None:
         cost_axes = jax.tree_util.tree_map(lambda _: None, cost)
+
+    if plan.planar:
+        return _planar_fleet_solve(
+            dyn, cost, xs, Us, keys, sigma, lambda_, plan, ou_beta,
+            interpret, cost_axes,
+        )
 
     def pack1(c, x0, U, key):
         return pack_inputs(

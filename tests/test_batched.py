@@ -158,3 +158,49 @@ def test_fleet_pallas_quadrotor3d():
 def test_fleet_pallas_antithetic_and_ou():
     cfg = load_config(CFG).replace(samples=64, antithetic=True, noise_beta=0.5)
     _fleet_vs_single_pallas(cfg, B=2)
+
+
+def test_fleet_pallas_planar_matches_oracle(rng):
+    """A=3 fleet rides the PLANAR fleet kernel (plan.planar); every robot
+    must match the scan-oracle solve fed its planar host-twin noise (the
+    planar stream differs from kernels A/B's, so the oracle — not the
+    single-robot interpret controller, which runs A/B — is the reference)."""
+    import dataclasses as dc
+
+    from mppi_gpu_tpu.config import MPPIConfig
+    from mppi_gpu_tpu.controller import mppi_solve_deterministic
+    from mppi_gpu_tpu.ops import pallas_rollout as pr
+
+    R, K, T, A = 3, 260, 9, 3
+    cfg = MPPIConfig(
+        env="t", samples=K, state_dim=2 * A, action_dim=A, horizon=T, dt=0.1,
+        lambda_=1.0, noise=(0.25,) * A, init_act=(0.0,) * A, max_a=(1.0,) * A,
+        goal=(1.0,) * A + (0.0,) * A, cost_type="quadratic",
+        cost_w=(1.0,) * A + (0.5,) * A,
+    )
+    plan = pr.make_plan(K, T, A, testmode=True)
+    assert plan.planar
+    goals = jnp.asarray(rng.normal(size=(R, 2 * A)), jnp.float32)
+    fleet = BatchedMPPIController(
+        cfg, R, goals=goals, rollout_backend="pallas-interpret", testmode=True
+    )
+    xs = jnp.asarray(rng.normal(size=(R, 2 * A)) * 0.3, jnp.float32)
+    Us = fleet.init_action_seqs()
+    keys = fleet.init_keys()
+    res = fleet.solve_batch(xs, Us, keys)
+    assert res.u_next.shape == (R, T, A)
+    sigma = jnp.asarray(cfg.noise, jnp.float32)
+    base_cost = MPPIController(cfg, rollout_backend="scan").cost
+    for r in range(R):
+        eps = pr.planar_fake_noise_tensor(plan, sigma, key=keys[r])
+        cost_r = dc.replace(base_cost, goal=goals[r])
+        ref = mppi_solve_deterministic(
+            fleet.dynamics, cost_r, xs[r], Us[r], eps[:, :K, :],
+            fleet.lambda_, fleet.max_a, clamp=cfg.clamp_action,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.u_next[r]), np.asarray(ref.u_next), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.info.costs[r]), np.asarray(ref.info.costs), rtol=3e-5
+        )

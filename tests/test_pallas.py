@@ -836,6 +836,9 @@ def test_planar_plan_eligibility():
     assert not pr.make_plan(1000, 20, 4).planar
     assert not pr.make_plan(1000, 20, 1, family="pendulum").planar  # not a planar family
     p = pr.make_plan(100_000, 200, 3)
-    assert p.planar and p.Kpad_p >= 100_000 and p.Kpg_p % p.KB == 0
-    # planar stage buffer fits the budget: A * Tc * SUB * KB * 4 <= 11 MB
-    assert p.A * p.Tc * 8 * p.KB * 4 <= 11.5 * 2**20
+    assert p.planar and p.Kpad_p >= 100_000 and p.Kpg_p % p.KBp == 0
+    # planar stage buffer fits the budget: A * Tc * SUB * KBp * 4 <= 11 MB
+    assert p.A * p.Tc * 8 * p.KBp * 4 <= 11.5 * 2**20
+    # the row-packed lane count is NOT shrunk by the planar budget (the
+    # sharded A/B path keeps its swept-optimal KB)
+    assert p.KB > p.KBp
