@@ -218,26 +218,64 @@ def pallas_solve(
         )
         sm = softmin_weights(S_pad, lambda_)
     else:
+        import os as _os
+
         fam_name = pr.family_for(dyn, cost)
         plan = pr.make_plan(
             K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
             family=fam_name,
             extra=pr._plan_extra(pr.FAMILIES[fam_name], cost),
         )
-        packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
-        S_pad = pr.pallas_rollout_costs(
-            dyn, cost, x0, U, key, sigma, K=K, antithetic=antithetic,
-            ou_beta=ou_beta, interpret=interpret, packed=packed, testmode=testmode,
-        )
-        # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to
-        # exactly 0, so they drop out of η and ΔU without any masking here.
-        sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
-        dU = pr.pallas_weighted_update(
-            dyn, cost, x0, U, key, sigma, sm.weights, K=K, antithetic=antithetic,
-            ou_beta=ou_beta, interpret=interpret, packed=packed, testmode=testmode,
-        )
-        if axis_name is not None:
-            dU = jax.lax.psum(dU, axis_name)
+        if (
+            (plan.onepass or plan.planar)
+            and not interpret  # the Mosaic interpreter deadlocks on the
+            # one-pass kernel under 8 shard_map device threads (io_callback
+            # pool); the virtual-mesh tests keep the two-kernel path, the
+            # combine math is unit-tested (test_sharding), and the real-TPU
+            # mesh path is gated by tests/_pallas_tpu_check.py
+            and _os.environ.get("MPPI_SHARDED_ONEPASS", "1") != "0"
+        ):
+            # sharded ONE-PASS: each device runs the single-launch fused
+            # core unnormalized (local β, η, ΔŨ) — the online softmin is
+            # associative, so devices combine exactly like the kernel's
+            # K-tiles: β = pmin(β_d), η = psum(f_d·η_d),
+            # ΔU = psum(f_d·ΔŨ_d)/η with f_d = exp((β−β_d)/λ) ≤ 1. The
+            # same three all-reduces as the two-kernel path, at the
+            # one-pass per-chip cost (4.2 → ~1.5 ms/chip at K=10⁵).
+            S_pad, dU_raw, beta_l, eta_l = pr.pallas_fused_solve_core(
+                dyn, cost, x0, U, key, sigma, lambda_,
+                K=K, antithetic=antithetic, ou_beta=ou_beta,
+                testmode=testmode, interpret=interpret, normalize=False,
+            )
+            beta = beta_l if axis_name is None else jax.lax.pmin(beta_l, axis_name)
+            f = jnp.exp((beta - beta_l) / lambda_)
+            eta = f * eta_l
+            dU = f * dU_raw
+            if axis_name is not None:
+                eta = jax.lax.psum(eta, axis_name)
+                dU = jax.lax.psum(dU, axis_name)
+            dU = dU / eta
+            from mppi_gpu_tpu.ops.softmin import SoftminResult
+
+            sm = SoftminResult(
+                weights=jnp.exp(-(S_pad - beta) / lambda_) / eta,
+                beta=beta, eta=eta,
+            )
+        else:
+            packed = pr.pack_inputs(dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta)
+            S_pad = pr.pallas_rollout_costs(
+                dyn, cost, x0, U, key, sigma, K=K, antithetic=antithetic,
+                ou_beta=ou_beta, interpret=interpret, packed=packed, testmode=testmode,
+            )
+            # Padded rollouts carry cost=BIG: exp(-(BIG-β)/λ) underflows to
+            # exactly 0, so they drop out of η and ΔU without any masking here.
+            sm = softmin_weights(S_pad, lambda_, axis_name=axis_name)
+            dU = pr.pallas_weighted_update(
+                dyn, cost, x0, U, key, sigma, sm.weights, K=K, antithetic=antithetic,
+                ou_beta=ou_beta, interpret=interpret, packed=packed, testmode=testmode,
+            )
+            if axis_name is not None:
+                dU = jax.lax.psum(dU, axis_name)
     u_new = U + dU
     if clamp:
         u_new = jnp.clip(u_new, -max_a, max_a)

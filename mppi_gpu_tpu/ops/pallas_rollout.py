@@ -1361,9 +1361,10 @@ def pallas_noise_dump(
     src/point_mass.cu:63; here it is opt-in).
 
     `planar` selects which stream to replay; the default matches what the
-    solve path executes: the planar one-pass core on the single-chip
-    compiled path (`plan.planar`), the row-packed kernels A/B under the
-    interpreter (pallas_solve's interpret branch is the two-kernel path)."""
+    solve path executes: the planar one-pass core on the compiled path
+    (`plan.planar`), the row-packed kernels A/B under the interpreter
+    (pallas_solve keeps the two-kernel path there — the Mosaic interpreter
+    deadlocks on the one-pass kernel under shard_map device threads)."""
     fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
@@ -1503,10 +1504,10 @@ def _onepass_solve_kernel(
     u3_ref,     # VMEM (T, SUB, LANE): lane-replicated U table (leading-dim read)
     s_ref,      # out VMEM (G, KB) blocks: per-rollout costs
     du_ref,     # out VMEM (SUB, Tpad): ΔU
-    eps_scr,    # VMEM scratch (Tc, SUB, KB): THIS tile's ε stage buffer
-    run_scr,    # SMEM scratch (1, 2) f32: [β_run, η_run] online-softmin state
-    acc_scr,    # VMEM scratch (SUB, Tpad): unnormalized Σ w̃ ε accumulator
-    *, plan: PallasPlan,
+    *rest,      # [bn_ref (SMEM out (1,2): local β, η — normalize=False only)]
+                # + scratches: eps stage (Tc, SUB, KB), run (1,2) SMEM, acc
+    plan: PallasPlan,
+    normalize: bool = True,
 ):
     """The ENTIRE MPPI solve in ONE pass over the rollout tiles.
 
@@ -1525,8 +1526,18 @@ def _onepass_solve_kernel(
     to exactly 0 and no first-tile special-casing is needed. η ≥ 1 at the
     end (the global-min rollout contributes exp(0) = 1 and is never
     rescaled), so the division is always safe. The rollout body is the SAME
-    `_rollout_phase_S` the other modes use. Single-chip path only — the
-    sharded form stays two-kernel so β/η can cross the mesh as pmin/psum."""
+    `_rollout_phase_S` the other modes use.
+
+    `normalize=False` (the SHARDED per-device form) skips the final
+    division and additionally emits the local (β, η) through `bn_ref`: the
+    online softmin is associative, so devices combine exactly like tiles —
+    β = pmin(β_d), η = psum(f_d·η_d), ΔU = psum(f_d·ΔŨ_d)/η with
+    f_d = exp((β−β_d)/λ) — three small all-reduces in XLA
+    (see controller.pallas_solve)."""
+    if normalize:
+        eps_scr, run_scr, acc_scr = rest
+    else:
+        bn_ref, eps_scr, run_scr, acc_scr = rest
     i = pl.program_id(0)
     lam = scal_ref[0, 2]  # softmin temperature
     seeds = (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2])
@@ -1550,7 +1561,12 @@ def _onepass_solve_kernel(
 
     @pl.when(i == plan.grid - 1)
     def _():
-        du_ref[:, :] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+        if normalize:
+            du_ref[:, :] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+        else:
+            du_ref[:, :] = acc_scr[:, :]
+            bn_ref[0, 0] = run_scr[0, 0]
+            bn_ref[0, 1] = run_scr[0, 1]
 
 
 def pallas_fused_solve_core(
@@ -1567,24 +1583,32 @@ def pallas_fused_solve_core(
     ou_beta: float = 0.0,
     testmode: bool = False,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    normalize: bool = True,
+):
     """Single-launch MPPI solve core: (S (Kpad,), ΔU (T, a)) in ONE kernel —
     no XLA ops or dispatch between the rollout, softmin, and update phases.
-    λ is read from the packed scalars (cost.lambda_). Single-chip path only.
+    λ is read from the packed scalars (cost.lambda_).
 
     Two kernel forms, chosen by the plan: the ONE-PASS form (default when
     the ε stage buffer fits VMEM — `plan.onepass`) rolls out, online-softmins
     and updates per tile in a single sweep; the two-pass form (grid
-    [A-tiles | softmin | B-tiles], ε regenerated) remains for long horizons
-    and as the structural twin of the sharded two-kernel path."""
+    [A-tiles | softmin | B-tiles], ε regenerated) remains for long horizons.
+
+    `normalize=False` (requires a one-pass-capable plan) returns the
+    SHARDED per-device form (S, ΔŨ unnormalized, β_local, η_local): the
+    online softmin is associative, so devices combine exactly like tiles
+    with three all-reduces — see controller.pallas_solve."""
     fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
         family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
     )
+    if not normalize and not (plan.onepass or plan.planar):
+        raise ValueError("normalize=False needs a one-pass-capable plan")
     if plan.planar:
         return _planar_fused_solve(
-            dyn, cost, x0, U, key, sigma, lambda_, plan, ou_beta, interpret
+            dyn, cost, x0, U, key, sigma, lambda_, plan, ou_beta, interpret,
+            normalize=normalize,
         )
     ints, scal, u_tile, p = pack_inputs(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_, ou_beta=ou_beta
@@ -1604,6 +1628,7 @@ def pallas_fused_solve_core(
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_INTERPRET if interpret else False,
     )
+    bn = None
     if plan.onepass:
         # lane-replicated U table for the kernel's leading-dim step read
         # (XLA-side broadcast; 4·T·SUB·LANE bytes = 4 KB per step of VMEM)
@@ -1613,13 +1638,19 @@ def pallas_fused_solve_core(
         common["in_specs"] = common["in_specs"] + [
             pl.BlockSpec((plan.T, SUB, LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ]
-        S, dU = pl.pallas_call(
-            functools.partial(_onepass_solve_kernel, plan=plan),
+        out_specs = [
+            pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        if not normalize:
+            out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            common["out_shape"] = common["out_shape"] + (
+                jax.ShapeDtypeStruct((1, 2), jnp.float32),
+            )
+        out = pl.pallas_call(
+            functools.partial(_onepass_solve_kernel, plan=plan, normalize=normalize),
             grid=(nk,),
-            out_specs=(
-                pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ),
+            out_specs=tuple(out_specs),
             scratch_shapes=[
                 pltpu.VMEM((plan.Tc, SUB, plan.KB), jnp.float32),
                 pltpu.SMEM((1, 2), jnp.float32),
@@ -1627,6 +1658,9 @@ def pallas_fused_solve_core(
             ],
             **common,
         )(ints, scal, u_tile, p, u3)
+        S, dU = out[0], out[1]
+        if not normalize:
+            bn = out[2]
     else:
         S, dU = pl.pallas_call(
             functools.partial(_fused_solve_kernel, plan=plan),
@@ -1650,7 +1684,10 @@ def pallas_fused_solve_core(
     S = S.reshape(plan.Kpad)
     if plan.anti:
         S = S[anti_rank_perm(plan)]  # rank order: real rollouts occupy [:K]
-    return S, dU[: plan.A, : plan.T].T
+    dU = dU[: plan.A, : plan.T].T
+    if bn is not None:
+        return S, dU, bn[0, 0], bn[0, 1]
+    return S, dU
 
 
 # --------------------------------------------------------------------------
@@ -1834,13 +1871,18 @@ def _planar_onepass_kernel(
     p_sm,       # SMEM (A, NP) f32: per-dim parameter pack
     s_ref,      # out VMEM (SUB, KB) blocks: per-rollout costs
     du_ref,     # out VMEM (SUB, Tpad): ΔU
-    *scratches, # A × VMEM (Tc, SUB, KB) ε stages, SMEM (1,2) run, VMEM acc
+    *rest,      # [bn_ref (SMEM out (1,2) — normalize=False)] + scratches:
+                # A × VMEM (Tc, SUB, KBp) ε stages, SMEM (1,2) run, VMEM acc
     plan: PallasPlan,
+    normalize: bool = True,
 ):
     """Planar one-pass MPPI solve — the same online-softmin sweep as
-    :func:`_onepass_solve_kernel` on the planar layout."""
-    eps_scrs = scratches[: plan.A]
-    run_scr, acc_scr = scratches[plan.A], scratches[plan.A + 1]
+    :func:`_onepass_solve_kernel` on the planar layout (see there for the
+    `normalize=False` sharded per-device form)."""
+    if not normalize:
+        bn_ref, rest = rest[0], rest[1:]
+    eps_scrs = rest[: plan.A]
+    run_scr, acc_scr = rest[plan.A], rest[plan.A + 1]
     i = pl.program_id(0)
     lam = scal_ref[0, 2]
     seeds = (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2])
@@ -1866,7 +1908,12 @@ def _planar_onepass_kernel(
 
     @pl.when(i == plan.grid_p - 1)
     def _():
-        du_ref[:, :] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+        if normalize:
+            du_ref[:, :] = acc_scr[:, :] * (1.0 / run_scr[0, 1])
+        else:
+            du_ref[:, :] = acc_scr[:, :]
+            bn_ref[0, 0] = run_scr[0, 0]
+            bn_ref[0, 1] = run_scr[0, 1]
 
 
 def _planar_pack(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
@@ -1912,15 +1959,28 @@ def _planar_pack(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
 
 def _planar_fused_solve(
     dyn, cost, x0, U, key, sigma, lambda_, plan: PallasPlan, ou_beta: float,
-    interpret: bool,
+    interpret: bool, normalize: bool = True,
 ):
-    """Planar one-pass solve core: (S (Kpad_p,) rank-ordered, ΔU (T, a))."""
+    """Planar one-pass solve core: (S (Kpad_p,) rank-ordered, ΔU (T, a));
+    with `normalize=False` additionally returns the local (β, η) and leaves
+    ΔU unnormalized (the sharded per-device form)."""
     ints, scal, u_sm, p_sm = _planar_pack(
         dyn, cost, x0, U, key, sigma, plan, softmin_lambda=lambda_,
         ou_beta=ou_beta,
     )
-    S, dU = pl.pallas_call(
-        functools.partial(_planar_onepass_kernel, plan=plan),
+    out_specs = [
+        pl.BlockSpec((SUB, plan.KBp), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((SUB, plan.Kpg_p), jnp.float32),
+        jax.ShapeDtypeStruct((SUB, plan.Tpad), jnp.float32),
+    ]
+    if not normalize:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, 2), jnp.float32))
+    out = pl.pallas_call(
+        functools.partial(_planar_onepass_kernel, plan=plan, normalize=normalize),
         grid=(plan.grid_p,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1928,14 +1988,8 @@ def _planar_fused_solve(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((SUB, plan.KBp), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((SUB, plan.Kpg_p), jnp.float32),
-            jax.ShapeDtypeStruct((SUB, plan.Tpad), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=(
             [pltpu.VMEM((plan.Tc, SUB, plan.KBp), jnp.float32) for _ in range(plan.A)]
             + [pltpu.SMEM((1, 2), jnp.float32), pltpu.VMEM((SUB, plan.Tpad), jnp.float32)]
@@ -1943,10 +1997,15 @@ def _planar_fused_solve(
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=_INTERPRET if interpret else False,
     )(ints, scal, u_sm, p_sm)
+    S, dU = out[0], out[1]
     S = S.reshape(plan.Kpad_p)
     if plan.anti:
         S = S[_anti_perm(plan.Kpad_p, plan.KBp)]
-    return S, dU[: plan.A, : plan.T].T
+    dU = dU[: plan.A, : plan.T].T
+    if normalize:
+        return S, dU
+    bn = out[2]
+    return S, dU, bn[0, 0], bn[0, 1]
 
 
 def _planar_noise_dump_kernel(

@@ -206,3 +206,56 @@ def test_sharded_vs_single_distribution():
     a1 = np.asarray(single.solve(x, U, jax.random.key(0)).action)
     a2 = np.asarray(sharded.solve(x, U, jax.random.key(1)).action)
     np.testing.assert_allclose(a1, a2, atol=0.05)
+
+
+def test_sharded_onepass_combine_math_matches_global_softmin():
+    """The sharded ONE-PASS path's cross-device combine (controller.py:
+    β = pmin(β_d), η = psum(f_d·η_d), ΔU = psum(f_d·ΔŨ_d)/η with
+    f_d = exp((β−β_d)/λ)) must equal the global softmin over the union of
+    shards — the associativity that lets each device run the single-launch
+    fused core. Verified here device-free: per-'shard' local quantities
+    from the normalized fused core's own outputs (interpret+testmode),
+    combined in NumPy, against the gathered global softmin + einsum."""
+    from mppi_gpu_tpu.ops import pallas_rollout as pr
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+    from mppi_gpu_tpu.config import MPPIConfig
+    from mppi_gpu_tpu.controller import MPPIController
+
+    n, k_loc, T, a = 4, 64, 7, 2
+    lam = jnp.float32(0.8)
+    cfg = make_cfg(K=k_loc, T=T, a=a)
+    ctrl = MPPIController(cfg, rollout_backend="scan")
+    dyn, cost = ctrl.dynamics, ctrl.cost
+    x = jnp.asarray([0.2, -0.1, 0.05, 0.0], jnp.float32)
+    U = 0.05 * jnp.ones((T, a), jnp.float32)
+    key = jax.random.key(17)
+    sigma = ctrl.sigma
+
+    plan = pr.make_plan(k_loc, T, a, testmode=True)
+    assert plan.onepass
+    betas, etas, dUs, S_all, eps_all = [], [], [], [], []
+    for d in range(n):
+        kd = jax.random.fold_in(key, d)
+        S, dU, b_l, e_l = pr.pallas_fused_solve_core(
+            dyn, cost, x, U, kd, sigma, lam, K=k_loc,
+            testmode=True, interpret=True, normalize=False,
+        )
+        betas.append(float(b_l)); etas.append(float(e_l)); dUs.append(dU)
+        S_all.append(S[:k_loc])
+        eps_all.append(pr.fake_noise_tensor(plan, sigma, key=kd)[:, :k_loc, :])
+
+    # the combine (what the sharded branch computes with pmin/psum)
+    beta = min(betas)
+    fs = [np.exp((beta - b) / float(lam)) for b in betas]
+    eta = sum(f * e for f, e in zip(fs, etas))
+    dU = sum(f * np.asarray(d) for f, d in zip(fs, dUs)) / eta
+
+    # the global softmin over the union of shards
+    S_glob = jnp.concatenate(S_all)
+    eps_glob = jnp.concatenate(eps_all, axis=1)
+    sm = softmin_weights(S_glob, lam)
+    dU_ref = jnp.einsum("tka,k->ta", eps_glob, sm.weights)
+
+    np.testing.assert_allclose(beta, float(sm.beta), rtol=1e-6)
+    np.testing.assert_allclose(eta, float(sm.eta), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dU), np.asarray(dU_ref), rtol=1e-4, atol=1e-6)
