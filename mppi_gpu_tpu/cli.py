@@ -97,6 +97,15 @@ def _main(args) -> int:
     if args.seed is not None:
         cfg = cfg.replace(seed=args.seed)
 
+    if args.coordinator is not None and (
+        args.num_processes is None or args.process_id is None
+    ):
+        from mppi_gpu_tpu.config import ConfigError
+
+        raise ConfigError(
+            "--coordinator requires --num-processes and --process-id "
+            "(omit all three on a TPU pod slice for auto-discovery)"
+        )
     if args.multihost:
         # must run before the first jax.devices()/array op in this process
         from mppi_gpu_tpu.parallel import (

@@ -42,6 +42,16 @@ Layout notes (TPU tiling is (8 sublanes × 128 lanes) for f32):
 Rollout indexing convention (must agree between kernels A and B and the
 caller): rollout id = g * (Kpad/G) + i * KB + lane, for group g, grid step i.
 Kernel A's (G, Kpad/G) output flattens to exactly this order.
+
+Beyond the two-kernel form above, the hot path now runs as a SINGLE launch:
+the ONE-PASS kernels (`_onepass_solve_kernel` and friends) stage each
+tile's ε in VMEM and fold the softmin + weighted update into the rollout
+sweep with an online (flash-attention-style) rescale; the PLANAR layout
+(`plan.planar`, dims on tiles) removes the sublane padding entirely for
+the elementwise-per-dim families; fleet variants batch R robots as a grid
+axis; and the sharded path runs the same one-pass core per device with an
+associative cross-device combine. docs/kernels.md is the narrative map of
+all of this with the measured effect of each step.
 """
 
 from __future__ import annotations
@@ -338,13 +348,10 @@ def _lane_rank(plan: PallasPlan, i, shape=None):
 
 def anti_rank_perm(plan: PallasPlan) -> jax.Array:
     """(Kpad,) gather indices: rank-ordered vector = lane_flat[perm]. Only
-    meaningful when plan.anti (identity otherwise)."""
-    KB, half = plan.KB, plan.KB // 2
-    r = jnp.arange(plan.Kpad)
-    block, within = (r // KB) * KB, r % KB
-    m = within // 2
-    lane = jnp.where(within % 2 == 0, m, m + half)
-    return block + lane
+    meaningful when plan.anti (identity otherwise). Row-packed form of the
+    layout-generic :func:`_anti_perm` (the planar paths call that one with
+    their own Kpad_p/KBp)."""
+    return _anti_perm(plan.Kpad, plan.KB)
 
 
 def _seed(seed0, seed1, i):
@@ -1039,6 +1046,23 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan,
     return jnp.where(_lane_rank(plan, tile_i) < k_true, S, jnp.float32(BIG))
 
 
+def _online_softmin_step(S, lam, run_scr, acc_scr, contrib):
+    """One tile of the online softmin shared by ALL one-pass kernels
+    (single-robot / planar / both fleet forms — they must stay
+    mathematically identical): fold this tile's K-masked cost tile S and
+    its unnormalized weighted-noise contribution `contrib(w_tile)` into the
+    running (β, η, ΔŨ) state, rescaling by f = exp((β_new−β_old)/λ) ≤ 1
+    when the tile lowers β (the flash-attention max-shift argument — every
+    exponent stays ≤ 0)."""
+    b_old = run_scr[0, 0]
+    b_new = jnp.minimum(b_old, jnp.min(S))
+    f = jnp.exp((b_new - b_old) / lam)    # ≤ 1; exactly 0 on the first tile
+    w_tile = jnp.exp(-(S - b_new) / lam)  # pad lanes/ranks underflow to 0
+    run_scr[0, 0] = b_new
+    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
+    acc_scr[:, :] = f * acc_scr[:, :] + contrib(w_tile)
+
+
 def _expand_group_weights(w_tile, plan: PallasPlan):
     """(G, KB) group weights → (SUB, KB): one row per (group, action-dim),
     rows g*A+i = w[g], zero on the G·A..SUB pad rows."""
@@ -1050,31 +1074,39 @@ def _expand_group_weights(w_tile, plan: PallasPlan):
     )
 
 
+def _chunked_slab_blocks(w_big, eps_scr, KB: int, T: int, Tc: int):
+    """Shared core of the staged-ε weighted update (row-packed AND planar):
+    for each static CH-step chunk, read the (CH·SUB, KB) slab, mask the
+    stale tail rows OUT (steps ≥ T hold old buffer contents — can be
+    anything incl. NaN, so select, don't zero-mul), lane-reduce once, and
+    yield the (CH, SUB) block."""
+    for c in range(0, Tc, CH):
+        slab = eps_scr[c:c + CH].reshape(CH * SUB, KB)
+        prod = w_big * slab
+        if c + CH > T:
+            row_t = jax.lax.broadcasted_iota(jnp.int32, (CH * SUB, KB), 0) // SUB
+            prod = jnp.where(c + row_t < T, prod, 0.0)
+        red = jnp.sum(prod, axis=1, keepdims=True)       # (CH·SUB, 1)
+        yield red.reshape(CH, SUB)
+
+
 def _update_phase_from_buf(w_tile, eps_scr, plan: PallasPlan):
     """One-pass weighted update: ΔU contribution of THIS tile read back from
     the ε stage buffer `eps_scr` (Tc, SUB, KB) that :func:`_rollout_phase_S`
     just filled — no PRNG regeneration and no per-step one-hot scatter.
 
-    Timesteps are processed in static chunks of CH: each chunk reads a
-    (CH·SUB, KB) slab, lane-reduces the weighted slab once, folds the group
-    rows, and lands as a (A, CH) block concatenated statically into its lane
-    position — roofline-measured at ~4× less VPU work than the per-step
+    Timesteps are processed in static chunks of CH via
+    :func:`_chunked_slab_blocks`; each block's packed (group, dim) rows are
+    folded into (A, CH) and concatenated statically into lane position —
+    roofline-measured at ~4× less VPU work than the per-step
     regenerate+scatter loop (see docs/kernels.md)."""
     A, G, KB, T, Tc, Tpad = plan.A, plan.G, plan.KB, plan.T, plan.Tc, plan.Tpad
     w_big = jnp.broadcast_to(
         _expand_group_weights(w_tile, plan)[None], (CH, SUB, KB)
     ).reshape(CH * SUB, KB)
     blocks = []
-    for c in range(0, Tc, CH):
-        slab = eps_scr[c:c + CH].reshape(CH * SUB, KB)
-        prod = w_big * slab
-        if c + CH > T:
-            # tail chunk: rows of steps ≥ T hold stale buffer contents (can
-            # be anything incl. NaN) — select them OUT, don't just zero-mul
-            row_t = jax.lax.broadcasted_iota(jnp.int32, (CH * SUB, KB), 0) // SUB
-            prod = jnp.where(c + row_t < T, prod, 0.0)
-        red = jnp.sum(prod, axis=1, keepdims=True)       # (CH·SUB, 1)
-        blk = red.reshape(CH, SUB).T                      # (SUB, CH): rows = packed dims
+    for blk in _chunked_slab_blocks(w_big, eps_scr, KB, T, Tc):
+        blk = blk.T                                       # (SUB, CH): rows = packed dims
         fold = blk[0:A]
         for g in range(1, G):
             fold = fold + blk[g * A:(g + 1) * A]          # (A, CH)
@@ -1551,13 +1583,10 @@ def _onepass_solve_kernel(
     S = _rollout_phase_S(i, seeds, scal_ref, u_ref, p_ref, plan,
                          eps_out=eps_scr, u3_at=lambda t: u3_ref[t])
     s_ref[:, :] = S
-    b_old = run_scr[0, 0]
-    b_new = jnp.minimum(b_old, jnp.min(S))
-    f = jnp.exp((b_new - b_old) / lam)                 # ≤ 1; 0 on tile 0
-    w_tile = jnp.exp(-(S - b_new) / lam)               # pad lanes underflow to 0
-    run_scr[0, 0] = b_new
-    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
-    acc_scr[:, :] = f * acc_scr[:, :] + _update_phase_from_buf(w_tile, eps_scr, plan)
+    _online_softmin_step(
+        S, lam, run_scr, acc_scr,
+        lambda w: _update_phase_from_buf(w, eps_scr, plan),
+    )
 
     @pl.when(i == plan.grid - 1)
     def _():
@@ -1702,9 +1731,10 @@ def pallas_fused_solve_core(
 # one-hot), and the per-group sublane cost reduction disappears entirely
 # (the cost accumulator's rows ARE rollouts). Implemented for the families
 # whose dynamics are elementwise per dim (PLANAR_FAMILIES); used by the
-# single-chip one-pass fused core and the noise dump — kernels A/B (the
-# sharded path) keep the row-packed layout, each self-consistent with its
-# own stream.
+# one-pass fused core (single-chip AND per-device under a mesh, via
+# normalize=False) and the noise dump — kernels A/B (the interpreter-tested
+# fallback) keep the row-packed layout, each self-consistent with its own
+# stream.
 # --------------------------------------------------------------------------
 
 _PLANAR_DIM_SALT = 0.733  # testmode noise: decorrelates the A per-step draws
@@ -1848,17 +1878,10 @@ def _planar_update_from_buf(w_tile, eps_scrs, plan: PallasPlan):
     w_big = jnp.broadcast_to(w_tile[None], (CH, SUB, KB)).reshape(CH * SUB, KB)
     rows = []
     for scr in eps_scrs:
-        blocks = []
-        for c in range(0, Tc, CH):
-            slab = scr[c:c + CH].reshape(CH * SUB, KB)
-            prod = w_big * slab
-            if c + CH > T:
-                # tail chunk: rows of steps ≥ T hold stale buffer contents
-                row_t = jax.lax.broadcasted_iota(jnp.int32, (CH * SUB, KB), 0) // SUB
-                prod = jnp.where(c + row_t < T, prod, 0.0)
-            red = jnp.sum(prod, axis=1, keepdims=True)        # (CH·SUB, 1)
-            blk = red.reshape(CH, SUB)
-            blocks.append(jnp.sum(blk, axis=1, keepdims=True).T)  # (1, CH)
+        blocks = [
+            jnp.sum(blk, axis=1, keepdims=True).T             # (1, CH)
+            for blk in _chunked_slab_blocks(w_big, scr, KB, T, Tc)
+        ]
         rows.append(jnp.concatenate(blocks, axis=1))          # (1, Tc)
     du = jnp.concatenate(rows, axis=0)                        # (A, Tc)
     return jnp.pad(du, ((0, SUB - plan.A), (0, Tpad - Tc)))   # (SUB, Tpad)
@@ -1898,13 +1921,10 @@ def _planar_onepass_kernel(
         lambda t, d: u_sm[t, d], lambda d, c: p_sm[d, c], plan, eps_scrs,
     )
     s_ref[:, :] = S
-    b_old = run_scr[0, 0]
-    b_new = jnp.minimum(b_old, jnp.min(S))
-    f = jnp.exp((b_new - b_old) / lam)                 # ≤ 1; 0 on tile 0
-    w_tile = jnp.exp(-(S - b_new) / lam)               # pad ranks underflow to 0
-    run_scr[0, 0] = b_new
-    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
-    acc_scr[:, :] = f * acc_scr[:, :] + _planar_update_from_buf(w_tile, eps_scrs, plan)
+    _online_softmin_step(
+        S, lam, run_scr, acc_scr,
+        lambda w: _planar_update_from_buf(w, eps_scrs, plan),
+    )
 
     @pl.when(i == plan.grid_p - 1)
     def _():
@@ -2247,13 +2267,10 @@ def _planar_fleet_onepass_kernel(
         plan, eps_scrs,
     )
     s_ref[0] = S
-    b_old = run_scr[0, 0]
-    b_new = jnp.minimum(b_old, jnp.min(S))
-    f = jnp.exp((b_new - b_old) / lam)
-    w_tile = jnp.exp(-(S - b_new) / lam)
-    run_scr[0, 0] = b_new
-    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
-    acc_scr[:, :] = f * acc_scr[:, :] + _planar_update_from_buf(w_tile, eps_scrs, plan)
+    _online_softmin_step(
+        S, lam, run_scr, acc_scr,
+        lambda w: _planar_update_from_buf(w, eps_scrs, plan),
+    )
 
     @pl.when(i == plan.grid_p - 1)
     def _():
@@ -2265,7 +2282,13 @@ def _fleet_onepass_solve_kernel(
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)] (shared)
     u_ref,      # VMEM (1, SUB, Tpad): robot r's nominal U block
     p_ref,      # VMEM (1, SUB, NP): robot r's family parameter pack
-    u3_ref,     # VMEM (1, T, SUB, LANE): robot r's lane-replicated U table
+    u3_ref,     # VMEM (1, T, SUB, LANE): robot r's lane-replicated U table.
+                # ~4·T·SUB·LANE bytes (0.8 MB at T=200) of HBM per robot,
+                # DMA'd once per robot per solve (the index map is constant
+                # in i) — fine to R~10³; the planar fleet kernel shows the
+                # leaner alternative (SMEM-windowed (T, A) scalar reads),
+                # which the row-packed layout could adopt by assembling its
+                # packed-row column from A SMEM scalars
     s_ref,      # out VMEM (1, G, KB) blocks: robot r's tile-i costs
     du_ref,     # out VMEM (1, SUB, Tpad): robot r's ΔU
     eps_scr,    # VMEM scratch (Tc, SUB, KB): ε stage buffer, recycled per tile
@@ -2294,13 +2317,10 @@ def _fleet_onepass_solve_kernel(
     S = _rollout_phase_S(i, seeds, scal_ref, u_all, p, plan,
                          eps_out=eps_scr, u3_at=lambda t: u3_ref[0, t])
     s_ref[0] = S
-    b_old = run_scr[0, 0]
-    b_new = jnp.minimum(b_old, jnp.min(S))
-    f = jnp.exp((b_new - b_old) / lam)                 # ≤ 1; 0 on tile 0
-    w_tile = jnp.exp(-(S - b_new) / lam)               # pad lanes underflow to 0
-    run_scr[0, 0] = b_new
-    run_scr[0, 1] = f * run_scr[0, 1] + jnp.sum(w_tile)
-    acc_scr[:, :] = f * acc_scr[:, :] + _update_phase_from_buf(w_tile, eps_scr, plan)
+    _online_softmin_step(
+        S, lam, run_scr, acc_scr,
+        lambda w: _update_phase_from_buf(w, eps_scr, plan),
+    )
 
     @pl.when(i == plan.grid - 1)
     def _():

@@ -22,7 +22,7 @@ import jax
 
 from mppi_gpu_tpu.parallel.mesh import make_mesh
 
-_INITIALIZED = False
+_INITIALIZED: tuple | None = None  # the args of the successful first call
 
 
 def init_multihost(
@@ -43,7 +43,8 @@ def init_multihost(
     Returns ``(process_index, process_count)``.
     """
     global _INITIALIZED
-    if not _INITIALIZED:
+    args = (coordinator_address, num_processes, process_id)
+    if _INITIALIZED is None:
         kwargs = {}
         if coordinator_address is not None:
             kwargs["coordinator_address"] = coordinator_address
@@ -52,7 +53,15 @@ def init_multihost(
         if process_id is not None:
             kwargs["process_id"] = process_id
         jax.distributed.initialize(**kwargs)
-        _INITIALIZED = True
+        _INITIALIZED = args
+    elif args != (None, None, None) and args != _INITIALIZED:
+        # a no-arg re-call is a benign "give me my coordinates"; a re-call
+        # with DIFFERENT wiring is a misconfiguration — surface it instead
+        # of silently returning the existing runtime's coordinates
+        raise RuntimeError(
+            f"init_multihost already initialized with {_INITIALIZED}; "
+            f"conflicting re-initialization with {args}"
+        )
     return jax.process_index(), jax.process_count()
 
 

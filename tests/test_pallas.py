@@ -842,3 +842,55 @@ def test_planar_plan_eligibility():
     # the row-packed lane count is NOT shrunk by the planar budget (the
     # sharded A/B path keeps its swept-optimal KB)
     assert p.KB > p.KBp
+
+
+def test_planar_unnormalized_form_matches_normalized():
+    """The sharded per-device form (normalize=False): local (β, η) out and
+    ΔŨ unnormalized — dividing by η must reproduce the normalized planar
+    solve exactly, and (β, η) must equal the softmin over S."""
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    A, T, K = 3, 11, 530
+    dyn, cost, x0, U, sigma = _setup(A, T, K)
+    key, lam = jax.random.key(21), jnp.float32(0.9)
+    plan = pr.make_plan(K, T, A, testmode=True)
+    assert plan.planar
+    S1, dU1 = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S2, dUr, beta, eta = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True,
+        normalize=False,
+    )
+    np.testing.assert_array_equal(np.asarray(S1), np.asarray(S2))
+    sm = softmin_weights(S1, lam)
+    np.testing.assert_allclose(float(beta), float(sm.beta), rtol=1e-6)
+    np.testing.assert_allclose(float(eta), float(sm.eta), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dUr) / float(eta), np.asarray(dU1), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_rowpacked_unnormalized_form_matches_normalized():
+    """Same contract for the row-packed one-pass kernel (A=2, not planar)."""
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    A, T, K = 2, 10, 300
+    dyn, cost, x0, U, sigma = _setup(A, T, K)
+    key, lam = jax.random.key(4), jnp.float32(1.1)
+    plan = pr.make_plan(K, T, A, testmode=True)
+    assert plan.onepass and not plan.planar
+    S1, dU1 = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S2, dUr, beta, eta = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True,
+        normalize=False,
+    )
+    np.testing.assert_array_equal(np.asarray(S1), np.asarray(S2))
+    sm = softmin_weights(S1, lam)
+    np.testing.assert_allclose(float(beta), float(sm.beta), rtol=1e-6)
+    np.testing.assert_allclose(float(eta), float(sm.eta), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dUr) / float(eta), np.asarray(dU1), rtol=1e-5, atol=1e-7
+    )
