@@ -139,3 +139,27 @@ def test_pallas_testmode_parity_at_benchmark_scale():
     )
     dU_o = (w_o[None, :, None] * np.asarray(eps, np.float64)).sum(axis=1)
     np.testing.assert_allclose(np.asarray(dU, np.float64), dU_o, rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_planar_parity_at_benchmark_scale():
+    """The PLANAR one-pass core (the path `auto` actually runs for the A=3
+    benchmark workload) at K=10^4, T=200 vs the float64 oracle fed the
+    planar host-twin noise — the same envelope the published bench rows sit
+    in, not just the small planar unit tests."""
+    dyn, cost, x0, U, sigma = _setup()
+    key = jax.random.key(2)
+    plan = pr.make_plan(K, T, A, testmode=True)
+    assert plan.planar
+    eps = pr.planar_fake_noise_tensor(plan, sigma, key=key)[:, :K, :]
+
+    lam = jnp.float32(cost.lambda_)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S_o, U_new_o, action_o, U_shift_o, w_o, beta_o, eta_o = _oracle(cost, x0, U, eps)
+    rel = np.abs(np.asarray(Sf[:K], np.float64) - S_o) / np.abs(S_o)
+    assert rel.max() < 2e-4, f"worst planar S relative error {rel.max():.2e}"
+    assert np.all(np.asarray(Sf[K:]) > 1e37)
+    dU_o = (w_o[None, :, None] * np.asarray(eps, np.float64)).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(dUf, np.float64), dU_o, rtol=2e-3, atol=2e-5)
