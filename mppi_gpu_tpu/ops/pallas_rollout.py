@@ -148,6 +148,17 @@ class PallasPlan(NamedTuple):
     def Tc(self) -> int:    # horizon rounded up to the update-chunk size
         return _round_up(self.T, CH)
 
+    @property
+    def stageKB(self) -> int:
+        # ε stage-buffer lane width (row-packed): antithetic stores only the
+        # positive half — mirrors are exact negatives (the OU recursion is
+        # linear), so the update folds them as (w⁺ − w⁻)·ε⁺
+        return self.KB // 2 if self.anti else self.KB
+
+    @property
+    def stageKB_p(self) -> int:  # same, planar
+        return self.KBp // 2 if self.anti else self.KBp
+
     # ---- planar-layout geometry (valid when self.planar) -----------------
     @property
     def Kpg_p(self) -> int:  # padded rollouts per sublane row (planar)
@@ -198,12 +209,18 @@ def make_plan(
     ):
         # planar lane count: its own budget cut (A stage buffers), its own
         # field — the row-packed kernels (A/B, the sharded path) keep KB
-        cap = budget // (_round_up(T, CH) * action_dim * SUB * 4) // gran * gran
+        bytes_per_lane = _round_up(T, CH) * action_dim * SUB * 4
+        if antithetic:
+            bytes_per_lane //= 2  # only ε⁺ is staged (see PallasPlan.stageKB)
+        cap = budget // bytes_per_lane // gran * gran
         if cap >= gran:
             planar = True
             KBp = min(KB, cap)
     if onepass:
-        cap = budget // (_round_up(T, CH) * SUB * 4) // gran * gran
+        bytes_per_lane = _round_up(T, CH) * SUB * 4
+        if antithetic:
+            bytes_per_lane //= 2
+        cap = budget // bytes_per_lane // gran * gran
         if cap >= gran:
             KB = min(KB, cap)
         elif not planar:
@@ -1020,7 +1037,9 @@ def _rollout_phase_S(tile_i, seeds, scal_ref, u_ref, p_ref, plan: PallasPlan,
         state, acc, e_prev = carry
         eps, e_prev = _next_eps(t, e_prev, sigma, scal_ref, KB, plan.anti, plan.ou, tile_i, plan.testmode, sid)
         if eps_out is not None:
-            eps_out[t] = eps
+            # antithetic: stage only ε⁺ (mirrors are exact negatives; the
+            # update folds them as (w⁺ − w⁻)·ε⁺) — halves stage VMEM
+            eps_out[t] = eps[:, : KB // 2] if plan.anti else eps
         if u3_at is not None:
             u_b = jnp.broadcast_to(u3_at(t)[:, 0:1], (SUB, KB))
         else:
@@ -1100,10 +1119,13 @@ def _update_phase_from_buf(w_tile, eps_scr, plan: PallasPlan):
     folded into (A, CH) and concatenated statically into lane position —
     roofline-measured at ~4× less VPU work than the per-step
     regenerate+scatter loop (see docs/kernels.md)."""
-    A, G, KB, T, Tc, Tpad = plan.A, plan.G, plan.KB, plan.T, plan.Tc, plan.Tpad
-    w_big = jnp.broadcast_to(
-        _expand_group_weights(w_tile, plan)[None], (CH, SUB, KB)
-    ).reshape(CH * SUB, KB)
+    A, G, T, Tc, Tpad = plan.A, plan.G, plan.T, plan.Tc, plan.Tpad
+    KB = plan.stageKB
+    w_exp = _expand_group_weights(w_tile, plan)
+    if plan.anti:
+        # mirrors are −ε⁺ exactly: Σ w⁺ε⁺ + w⁻ε⁻ = Σ (w⁺ − w⁻) ε⁺
+        w_exp = w_exp[:, :KB] - w_exp[:, KB:]
+    w_big = jnp.broadcast_to(w_exp[None], (CH, SUB, KB)).reshape(CH * SUB, KB)
     blocks = []
     for blk in _chunked_slab_blocks(w_big, eps_scr, KB, T, Tc):
         blk = blk.T                                       # (SUB, CH): rows = packed dims
@@ -1681,7 +1703,7 @@ def pallas_fused_solve_core(
             grid=(nk,),
             out_specs=tuple(out_specs),
             scratch_shapes=[
-                pltpu.VMEM((plan.Tc, SUB, plan.KB), jnp.float32),
+                pltpu.VMEM((plan.Tc, SUB, plan.stageKB), jnp.float32),
                 pltpu.SMEM((1, 2), jnp.float32),
                 pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
             ],
@@ -1843,7 +1865,7 @@ def _planar_rollout_S(tile_i, seeds, scal_ref, u_at, p_at, plan: PallasPlan,
             else:
                 e = n
             eps = sig[i] * e
-            eps_scrs[i][t] = eps
+            eps_scrs[i][t] = eps[:, : KB // 2] if plan.anti else eps
             u_i = u_at(t, i)
             ue = u_i + eps
             qi = q[i] + dt * qd[i] + hdt2 * ue
@@ -1874,7 +1896,10 @@ def _planar_update_from_buf(w_tile, eps_scrs, plan: PallasPlan):
     """Planar one-pass weighted update: ΔU contribution of THIS tile read
     back from the per-dim ε stage buffers — ΔU[t, i] = Σ over the full
     (SUB, KBp) tile of w ⊙ ε_i[t], chunked CH steps at a time."""
-    KB, T, Tc, Tpad = plan.KBp, plan.T, plan.Tc, plan.Tpad
+    T, Tc, Tpad = plan.T, plan.Tc, plan.Tpad
+    KB = plan.stageKB_p
+    if plan.anti:
+        w_tile = w_tile[:, :KB] - w_tile[:, KB:]  # fold mirror weights
     w_big = jnp.broadcast_to(w_tile[None], (CH, SUB, KB)).reshape(CH * SUB, KB)
     rows = []
     for scr in eps_scrs:
@@ -2011,7 +2036,7 @@ def _planar_fused_solve(
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=(
-            [pltpu.VMEM((plan.Tc, SUB, plan.KBp), jnp.float32) for _ in range(plan.A)]
+            [pltpu.VMEM((plan.Tc, SUB, plan.stageKB_p), jnp.float32) for _ in range(plan.A)]
             + [pltpu.SMEM((1, 2), jnp.float32), pltpu.VMEM((SUB, plan.Tpad), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
@@ -2220,7 +2245,7 @@ def _planar_fleet_solve(dyn, cost, xs, Us, keys, sigma, lambda_,
             jax.ShapeDtypeStruct((R, SUB, plan.Tpad), jnp.float32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((plan.Tc, SUB, plan.KBp), jnp.float32) for _ in range(plan.A)]
+            [pltpu.VMEM((plan.Tc, SUB, plan.stageKB_p), jnp.float32) for _ in range(plan.A)]
             + [pltpu.SMEM((1, 2), jnp.float32), pltpu.VMEM((SUB, plan.Tpad), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(
@@ -2410,7 +2435,7 @@ def pallas_fleet_solve_core(
                 pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((plan.Tc, SUB, plan.KB), jnp.float32),
+                pltpu.VMEM((plan.Tc, SUB, plan.stageKB), jnp.float32),
                 pltpu.SMEM((1, 2), jnp.float32),
                 pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
             ],
