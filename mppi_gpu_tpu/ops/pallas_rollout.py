@@ -217,12 +217,17 @@ def make_plan(
             planar = True
             KBp = min(KB, cap)
     if onepass:
-        bytes_per_lane = _round_up(T, CH) * SUB * 4
-        if antithetic:
-            bytes_per_lane //= 2
-        cap = budget // bytes_per_lane // gran * gran
+        # KB cap from FULL-eps sizing: under antithetic only ε⁺ is staged
+        # (half the bytes), but letting that RAISE KB hurts register-heavy
+        # families (quadrotor3d anti measured 6.2 ms at KB=1536 vs 6.7 at
+        # 2048) — so the half-sizing only extends ELIGIBILITY at long T,
+        # never widens the tile
+        cap = budget // (_round_up(T, CH) * SUB * 4) // gran * gran
+        cap_elig = cap * 2 if antithetic else cap
         if cap >= gran:
             KB = min(KB, cap)
+        elif cap_elig >= gran:
+            KB = min(KB, cap_elig)  # long-T antithetic: halved stage fits
         elif not planar:
             onepass = False  # horizon too long to stage ε — two-pass fallback
     Kpg = _round_up(_round_up(K, G) // G, KB)
