@@ -81,6 +81,13 @@ def make_cfg(K: int, T: int, family: str = "lti", antithetic: bool = False):
             cost_w=(4.0, 4.0, 4.0, 10.0, 3.0, 3.0, 3.0, 0.5),
             antithetic=antithetic,
         )
+    elif family == "unicycle":
+        cfg = MPPIConfig(
+            env="unicycle", samples=K, state_dim=3, action_dim=2, horizon=T,
+            dt=0.05, lambda_=0.3, noise=(0.6, 1.0), init_act=(0.0, 0.0),
+            max_a=(1.5, 2.5), goal=(2.0, 1.0, 0.0), cost_type="unicycle",
+            cost_w=(4.0, 1.0), antithetic=antithetic,
+        )
     elif family == "obstacle":
         cfg = MPPIConfig(
             env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
@@ -132,6 +139,8 @@ def bench_x0(family: str) -> "jnp.ndarray":
         return jnp.asarray([3.0, 0.1], jnp.float32)  # hanging, slight spin
     if family == "cartpole":
         return jnp.asarray([0.1, 0.2, 0.0, 0.0], jnp.float32)  # pole leaning
+    if family == "unicycle":
+        return jnp.asarray([0.0, 0.0, 0.4], jnp.float32)
     if family == "quadrotor":
         return jnp.asarray([-1.0, 0.0, 0.05, 0.2, 0.0, 0.1], jnp.float32)
     if family == "quadrotor3d":
@@ -540,6 +549,8 @@ ALL_CASES = [
     (100_000, "scan", False, 20, "quadrotor3d"),
     (100_000, "pallas", False, 20, "quadrotor3d"),
     (100_000, "pallas", True, 20, "quadrotor3d"),
+    (100_000, "scan", False, 20, "unicycle"),
+    (100_000, "pallas", False, 20, "unicycle"),
 ]
 
 
@@ -637,7 +648,7 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp", action="store_true",
                    help="MLP(128x128) residual dynamics instead of analytic LTI")
     p.add_argument("--family", default="lti",
-                   choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor", "quadrotor3d"),
+                   choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor", "quadrotor3d", "unicycle"),
                    help="fused model family for the workload")
     p.add_argument("--sharded", action="store_true",
                    help="mesh-size sweep with weak/strong scaling efficiency")

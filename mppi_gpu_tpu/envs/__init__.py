@@ -17,11 +17,16 @@ from mppi_gpu_tpu.envs.cartpole_world import CartPoleParams, CartPoleWorld
 from mppi_gpu_tpu.envs.pendulum_world import PendulumParams, PendulumWorld
 from mppi_gpu_tpu.envs.quadrotor_world import QuadrotorParams, QuadrotorWorld
 from mppi_gpu_tpu.envs.quadrotor3d_world import Quadrotor3DParams, Quadrotor3DWorld
+from mppi_gpu_tpu.envs.unicycle_world import UnicycleParams, UnicycleWorld
 from mppi_gpu_tpu.envs.native import NativePointMassWorld, native_available
 
 
 def is_pendulum_env(env: str) -> bool:
     return "pendulum" in str(env)
+
+
+def is_unicycle_env(env: str) -> bool:
+    return "unicycle" in str(env)
 
 
 def is_cartpole_env(env: str) -> bool:
@@ -41,6 +46,8 @@ def is_quadrotor_env(env: str) -> bool:
 def params_for_config(cfg):
     """Env-family dispatch: the config's `env` name (or XML path) selects the
     world family and its physical parameters."""
+    if is_unicycle_env(cfg.env):
+        return UnicycleParams(max_v=cfg.max_a[0], max_w=cfg.max_a[1])
     if is_cartpole_env(cfg.env):
         return CartPoleParams(max_force=max(cfg.max_a))
     if is_pendulum_env(cfg.env):
@@ -58,6 +65,8 @@ def params_for_config(cfg):
 
 def make_jax_world(cfg, params=None):
     params = params if params is not None else params_for_config(cfg)
+    if isinstance(params, UnicycleParams):
+        return UnicycleWorld(params)
     if isinstance(params, CartPoleParams):
         return CartPoleWorld(params)
     if isinstance(params, PendulumParams):
@@ -75,6 +84,7 @@ __all__ = [
     "params_for_config",
     "make_jax_world",
     "is_pendulum_env",
+    "is_unicycle_env",
     "is_cartpole_env",
     "is_quadrotor_env",
     "is_quadrotor3d_env",
@@ -86,6 +96,8 @@ __all__ = [
     "PendulumWorld",
     "PendulumParams",
     "CartPoleWorld",
+    "UnicycleWorld",
+    "UnicycleParams",
     "CartPoleParams",
     "NativePointMassWorld",
     "native_available",

@@ -152,8 +152,17 @@ def run_mismatch_config(
     x0 = jnp.asarray(ws0.x)
 
     if world_backend in ("native", "mujoco"):
-        from mppi_gpu_tpu.envs import is_cartpole_env, is_quadrotor_env
+        from mppi_gpu_tpu.envs import (
+            is_cartpole_env,
+            is_quadrotor_env,
+            is_unicycle_env,
+        )
 
+        if is_unicycle_env(cfg.env):
+            raise ValueError(
+                "the unicycle family is kinematic and has no native/MuJoCo "
+                "twin; use --world jax"
+            )
         if world_backend == "native":
             from mppi_gpu_tpu.envs.native import (
                 NativeCartPoleWorld,

@@ -11,6 +11,7 @@ from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
 from mppi_gpu_tpu.models.pendulum import PendulumDynamics
 from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
 from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
+from mppi_gpu_tpu.models.unicycle import UnicycleDynamics
 from mppi_gpu_tpu.models.neural import (
     HybridResidualDynamics,
     MLPDynamics,
@@ -21,6 +22,8 @@ from mppi_gpu_tpu.models.neural import (
 def dynamics_for_config(cfg) -> Dynamics:
     """Default rollout model for a config's env family (override by passing
     `dynamics=` to the controller)."""
+    if "unicycle" in str(cfg.env):
+        return UnicycleDynamics.create(cfg.dt)
     if "cartpole" in str(cfg.env):
         return CartPoleDynamics.create(cfg.dt)
     if "pendulum" in str(cfg.env):
@@ -34,7 +37,7 @@ def dynamics_for_config(cfg) -> Dynamics:
 
 __all__ = [
     "Dynamics", "PointMassLTI", "PendulumDynamics", "CartPoleDynamics",
-    "QuadrotorDynamics", "Quadrotor3DDynamics", "MLPDynamics",
+    "QuadrotorDynamics", "Quadrotor3DDynamics", "UnicycleDynamics", "MLPDynamics",
     "HybridResidualDynamics",
     "init_mlp_dynamics", "dynamics_for_config",
 ]

@@ -118,6 +118,40 @@ class PendulumSwingupCost:
 
 @register_dataclass
 @dataclass(frozen=True)
+class UnicycleWaypointCost:
+    """Waypoint cost for the unicycle family: ``w = [w_pos, w_head]`` —
+    quadratic distance to the goal position plus a wrap-safe
+    face-the-goal term ``w_head·(1 − d̂·ĥ)`` where d̂ is the unit vector to
+    the goal and ĥ = (cos θ, sin θ) the heading: zero iff the robot points
+    straight at the waypoint, no atan2 (one rsqrt — kernel-friendly), and
+    it fades out naturally as the robot arrives (the ε in the rsqrt keeps
+    it finite AT the goal). ``goal[0:2]`` is the waypoint; ``goal[2]``
+    exists only for the state_dim=3 config schema and is unused."""
+
+    w: jax.Array        # (2,) = [w_pos, w_head]
+    goal: jax.Array     # (3,)
+    lambda_: jax.Array
+    inv_s: jax.Array    # (a,)
+
+    _EPS = 1e-3  # m²; keeps the bearing term finite at the waypoint
+
+    def _state(self, x: jax.Array) -> jax.Array:
+        dx = self.goal[0] - x[..., 0]
+        dy = self.goal[1] - x[..., 1]
+        d2 = dx * dx + dy * dy
+        align = (dx * jnp.cos(x[..., 2]) + dy * jnp.sin(x[..., 2])) * jax.lax.rsqrt(d2 + self._EPS)
+        return self.w[0] * d2 + self.w[1] * (1.0 - align)
+
+    def step(self, x_next: jax.Array, u: jax.Array, eps: jax.Array) -> jax.Array:
+        ctrl = self.lambda_ * jnp.sum(u * self.inv_s * eps, axis=-1)
+        return ctrl + self._state(x_next)
+
+    def final(self, x: jax.Array) -> jax.Array:
+        return self._state(x)
+
+
+@register_dataclass
+@dataclass(frozen=True)
 class CartPoleBalanceCost:
     """Balance cost for the cart-pole family: keep the pole upright, the cart
     centered, and both velocities low. ``w = [w_pos, w_angle, w_posvel,
@@ -267,6 +301,24 @@ def _make_pendulum(cfg: MPPIConfig) -> PendulumSwingupCost:
     return PendulumSwingupCost(
         w_angle=jnp.float32(cfg.cost_w[0]),
         w_vel=jnp.float32(cfg.cost_w[1]),
+        lambda_=jnp.float32(cfg.lambda_),
+        inv_s=inv_s,
+    )
+
+
+@register_cost("unicycle")
+def _make_unicycle(cfg: MPPIConfig) -> UnicycleWaypointCost:
+    if len(cfg.cost_w) != 2:
+        raise ValueError(
+            f"unicycle cost needs cost.w = [w_pos, w_head], got {cfg.cost_w}"
+        )
+    if cfg.inv_sigma == "from-noise":
+        inv_s = 1.0 / (jnp.asarray(cfg.noise, jnp.float32) ** 2)
+    else:
+        inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
+    return UnicycleWaypointCost(
+        w=jnp.asarray(cfg.cost_w, jnp.float32),
+        goal=jnp.asarray(cfg.goal, jnp.float32),
         lambda_=jnp.float32(cfg.lambda_),
         inv_s=inv_s,
     )

@@ -831,6 +831,88 @@ class _QuadrotorFamily:
         return carry0, step, final
 
 
+class _UnicycleFamily:
+    """Differential-drive unicycle + waypoint cost (models/unicycle.py +
+    ops/cost.py UnicycleWaypointCost): RK2-midpoint of the planar-pose
+    kinematics with the wrap-safe face-the-goal bearing term. A=2 COUPLED
+    action dims (v, ω) → G=4 rollout groups per tile, each group's two
+    action rows duplicated onto both of its rows (the quadrotor family's
+    pair_dup pattern); three state tiles (px, py, θ); two transcendentals
+    (sin, cos of the midpoint heading) + one rsqrt (bearing) per step."""
+
+    name = "unicycle"
+    NP = 9  # sigma, inv_s, w_pos, w_head, gx, gy, x0 px/py/θ
+    _WPOS, _WHEAD, _GX, _GY, _X0 = 2, 3, 4, 5, 6
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.unicycle import UnicycleDynamics
+        from mppi_gpu_tpu.ops.cost import UnicycleWaypointCost
+
+        return isinstance(dyn, UnicycleDynamics) and type(cost) is UnicycleWaypointCost
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        x0 = jnp.broadcast_to(x0, (3,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        g = cost.goal.astype(jnp.float32)
+        return jnp.stack(
+            [
+                tileA(sigma), tileA(cost.inv_s),
+                tileA(w[0]), tileA(w[1]), tileA(g[0]), tileA(g[1]),
+                tileA(x0[0]), tileA(x0[1]), tileA(x0[2]),
+            ],
+            axis=1,
+        )  # (SUB, NP)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        dt = scal_ref[0, 0]
+        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
+        w_pos, w_head = col(cls._WPOS), col(cls._WHEAD)
+        gx, gy = col(cls._GX), col(cls._GY)
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        even = (row % 2 == 0).astype(jnp.float32)
+
+        def pair_dup(u_eff, off):
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 2 + off:g * 2 + off + 1]
+                rows.append(r)
+                rows.append(r)
+            return jnp.concatenate(rows, axis=0)
+
+        def state_cost(s):
+            # mirrors UnicycleWaypointCost._state exactly (incl. the 1e-3 ε)
+            px, py, th = s
+            dx, dy = gx - px, gy - py
+            d2 = dx * dx + dy * dy
+            align = (dx * jnp.cos(th) + dy * jnp.sin(th)) * jax.lax.rsqrt(d2 + 1e-3)
+            return even * (w_pos * d2 + w_head * (1.0 - align))
+
+        def carry0():
+            return tuple(
+                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(3)
+            )
+
+        def step(state, u_eff):
+            px, py, th = state
+            v, om = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
+            th_m = th + 0.5 * dt * om  # RK2 midpoint — mirrors UnicycleDynamics.step
+            state = (
+                px + dt * v * jnp.cos(th_m),
+                py + dt * v * jnp.sin(th_m),
+                th + dt * om,
+            )
+            return state, state_cost(state)
+
+        def final(state):
+            return state_cost(state)
+
+        return carry0, step, final
+
+
 class _Quadrotor3DFamily:
     """Full 3-D quadrotor, quaternion SE(3) rigid body in mixer action
     space (models/quadrotor3d.py + ops/cost.py Quadrotor3DHoverCost):
@@ -974,7 +1056,7 @@ FAMILIES = {
     f.name: f
     for f in (
         _LTIQuadFamily, _PendulumFamily, _CartPoleFamily, _LTIObstacleFamily,
-        _QuadrotorFamily, _Quadrotor3DFamily,
+        _QuadrotorFamily, _Quadrotor3DFamily, _UnicycleFamily,
     )
 }
 

@@ -528,4 +528,37 @@ dU_oracle = jnp.einsum("tka,k->ta", eps_pl, sm_pl.weights[:K_pl])
 rel_pl = float(jnp.max(jnp.abs(dU_pl - dU_oracle)) / (jnp.max(jnp.abs(dU_oracle)) + 1e-30))
 assert rel_pl < 1e-3, f"planar dU vs oracle einsum: rel={rel_pl}"
 
+# --- unicycle fused family on hardware: the seventh family (A=2 coupled
+# v/omega, trig + rsqrt bearing cost); one-hot kernel A/B cross-check via
+# the scan oracle + fused core + 'auto' resolution
+from mppi_gpu_tpu.models.unicycle import UnicycleDynamics
+from mppi_gpu_tpu.ops.cost import UnicycleWaypointCost
+
+dyn_u = UnicycleDynamics.create(0.05)
+cost_u = UnicycleWaypointCost(
+    w=jnp.asarray([4.0, 1.0]), goal=jnp.asarray([2.0, 1.0, 0.0]),
+    lambda_=jnp.float32(0.3), inv_s=jnp.asarray([1.0, 0.6]),
+)
+x0_u = jnp.asarray([0.0, 0.0, 0.4])
+T_u, K_u = 18, 700
+t_u = jnp.arange(T_u, dtype=jnp.float32)
+U_u = jnp.stack([0.8 + 0.2 * jnp.sin(0.3 * t_u), 0.3 * jnp.cos(0.4 * t_u)], axis=1)
+sig_u = jnp.asarray([0.6, 1.0])
+assert pr.family_for(dyn_u, cost_u) == "unicycle"
+S_u = pr.pallas_rollout_costs(dyn_u, cost_u, x0_u, U_u, key, sig_u, K=K_u)
+plan_u = pr.make_plan(K_u, T_u, 2, family="unicycle")
+assert float(S_u[-1]) > 1e37
+for k in (0, K_u - 1):
+    w_u = jnp.zeros((plan_u.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = pr.pallas_weighted_update(dyn_u, cost_u, x0_u, U_u, key, sig_u, w_u, K=K_u)
+    S_ref = float(rollout_costs(dyn_u, cost_u, x0_u, U_u, eps_k[:, None, :])[0])
+    rel = abs(float(S_u[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 1e-4, f"unicycle k={k}: rel={rel}"
+Sf_u, dUf_u = pr.pallas_fused_solve_core(
+    dyn_u, cost_u, x0_u, U_u, key, sig_u, jnp.float32(0.7), K=K_u
+)
+assert jnp.allclose(Sf_u, S_u, rtol=1e-5), "unicycle fused S != kernel A"
+from mppi_gpu_tpu.controller import resolve_backend as _rb
+assert _rb("auto", dyn_u, cost_u, platform="tpu") == "pallas"
+
 print("PALLAS_TPU_OK")
