@@ -131,6 +131,24 @@ class _PointMassScene:
         return [self.trail, self.dot]
 
 
+class _UnicycleScene(_PointMassScene):
+    """Differential-drive robot: the planar path scene plus a heading
+    segment from the pose angle (state [px, py, θ]; the action [v, ω] is
+    not a position-space vector, so the generic action arrow is off)."""
+
+    def __init__(self, ax, xs, us, goal):
+        super().__init__(ax, xs, np.zeros((0, 2)), goal, (), 2)
+        self.th = xs[:, 2]
+        (self.head,) = ax.plot([], [], color="darkorange", lw=2.5, zorder=6)
+
+    def update(self, i):
+        art = super().update(i)
+        L = 0.15
+        x, y, th = self.pos[i, 0], self.pos[i, 1], self.th[i]
+        self.head.set_data([x, x + L * np.cos(th)], [y, y + L * np.sin(th)])
+        return art + [self.head]
+
+
 class _PendulumScene:
     """Rod from the pivot; state x = (θ, θ̇) with θ=0 upright."""
 
@@ -267,6 +285,8 @@ def make_animation(t, xs, us, cfg=None, env: str | None = None,
 
     if env.startswith("pendulum"):
         scene = _PendulumScene(ax, xs, us)
+    elif env.startswith("unicycle"):
+        scene = _UnicycleScene(ax, xs, us, goal)
     elif env.startswith("cartpole"):
         scene = _CartPoleScene(ax, xs, us)
     elif env.startswith("quadrotor3d"):
