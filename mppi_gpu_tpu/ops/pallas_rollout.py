@@ -135,6 +135,12 @@ class PallasPlan(NamedTuple):
     KBp: int = 0            # planar lane count (the A-fold ε stage shrinks it
                             # independently of KB, so the row-packed kernels
                             # keep their own swept-optimal tile width)
+    u3: bool = True         # one-pass row-packed kernel takes the
+                            # lane-replicated U table (4·T·SUB·LANE bytes of
+                            # VMEM, ~0.3 ms faster at T=200); False at long T
+                            # where the table would blow the VMEM ceiling —
+                            # the kernel falls back to the one-hot lane
+                            # extraction of U[t] (bit-identical values)
 
     @property
     def Kpad(self) -> int:  # total padded rollouts
@@ -192,7 +198,7 @@ def make_plan(
     # arguments — kernels A/B, the fused core, the noise-dump kernel —
     # shares one tile geometry and hence one PRNG stream.
     onepass = os.environ.get("MPPI_PALLAS_ONEPASS", "1") != "0"
-    planar, KBp = False, 0
+    planar, KBp, u3 = False, 0, True
     gran = 512 if antithetic else 256
     # default swept on v5e at K=10⁵, T=200: 11 MB → KB=1792 (1.83 ms) vs
     # 7 MB → KB=1024 (1.97 ms) vs 13 MB → KB=2048 (1.86 ms); v5e VMEM is
@@ -222,12 +228,37 @@ def make_plan(
         # families (quadrotor3d anti measured 6.2 ms at KB=1536 vs 6.7 at
         # 2048) — so the half-sizing only extends ELIGIBILITY at long T,
         # never widens the tile
-        cap = budget // (_round_up(T, CH) * SUB * 4) // gran * gran
-        cap_elig = cap * 2 if antithetic else cap
-        if cap >= gran:
-            KB = min(KB, cap)
-        elif cap_elig >= gran:
-            KB = min(KB, cap_elig)  # long-T antithetic: halved stage fits
+        bpl_full = _round_up(T, CH) * SUB * 4      # sizing heuristic bytes/lane
+        bpl_staged = bpl_full // 2 if antithetic else bpl_full  # actual stage
+        cap = budget // bpl_full // gran * gran
+        # eligibility from the ACTUAL staged bytes, floored only after the
+        # halving — flooring cap (a gran multiple) first made cap_elig 0
+        # whenever cap was 0, so long-T antithetic plans silently lost the
+        # one-pass form even when the halved stage fit (ADVICE round 3)
+        cap_elig = budget // bpl_staged // gran * gran
+        # hard VMEM ceiling: besides the ε stage the one-pass kernel holds
+        # the lane-replicated U table u3 (4·T·SUB·LANE B) and the ΔU
+        # accumulator + output tiles (2·4·SUB·Tpad B) — the sweep knob
+        # (MPPI_PALLAS_EPS_VMEM_MB) doesn't cover them, so near the edge a
+        # "budget-eligible" plan could exceed physical VMEM at compile time
+        # (ADVICE round 3)
+        acc_bytes = 2 * SUB * _round_up(T, LANE) * 4
+        u3_bytes = T * SUB * LANE * 4
+        ceil = int(
+            float(os.environ.get("MPPI_PALLAS_VMEM_CEIL_MB", "15")) * 2**20
+        )
+        cap_hard = max(ceil - acc_bytes - u3_bytes, 0) // bpl_staged // gran * gran
+        if cap_hard < gran <= max(cap, cap_elig):
+            # the U table is what blows VMEM (long T): drop it — the kernel
+            # falls back to the one-hot lane extraction of U[t], which reads
+            # the (SUB, Tpad) u_ref it already has (bit-identical values)
+            u3 = False
+            cap_hard = max(ceil - acc_bytes, 0) // bpl_staged // gran * gran
+        if min(cap, cap_hard) >= gran:
+            KB = min(KB, cap, cap_hard)
+        elif min(cap_elig, cap_hard) >= gran:
+            # long-T antithetic: the halved stage fits
+            KB = min(KB, cap_elig, cap_hard)
         elif not planar:
             onepass = False  # horizon too long to stage ε — two-pass fallback
     Kpg = _round_up(_round_up(K, G) // G, KB)
@@ -235,7 +266,7 @@ def make_plan(
         K=K, A=action_dim, G=G, KB=KB, Kpg=Kpg, T=T,
         Tpad=_round_up(T, LANE), anti=antithetic, ou=float(ou_beta) != 0.0,
         testmode=testmode, family=family, extra=extra, onepass=onepass,
-        planar=planar, KBp=KBp,
+        planar=planar, KBp=KBp, u3=u3,
     )
 
 
@@ -1494,6 +1525,12 @@ def pallas_noise_dump(
     ou_beta: float = 0.0,
     interpret: bool = False,
     testmode: bool = False,
+    # None → replay the stream *pallas_solve* consumes for these arguments:
+    # the planar one-pass core on the compiled path (plan.planar), the
+    # row-packed kernels A/B under the interpreter. Callers pairing the dump
+    # with a DIFFERENT entry point (e.g. pallas_fused_solve_core with
+    # interpret=True, which still runs the planar core when plan.planar)
+    # must pass planar explicitly — see the docstring.
     planar: bool | None = None,
 ) -> jax.Array:
     """The (T, K, a) noise tensor the fused kernels generated for `key`, in
@@ -1501,11 +1538,15 @@ def pallas_noise_dump(
     Debug/dump path only (the reference always materializes ε,
     src/point_mass.cu:63; here it is opt-in).
 
-    `planar` selects which stream to replay; the default matches what the
-    solve path executes: the planar one-pass core on the compiled path
-    (`plan.planar`), the row-packed kernels A/B under the interpreter
-    (pallas_solve keeps the two-kernel path there — the Mosaic interpreter
-    deadlocks on the one-pass kernel under shard_map device threads)."""
+    `planar` selects which stream to replay; the default (None) matches what
+    `controller.pallas_solve` executes: the planar one-pass core on the
+    compiled path (`plan.planar`), the row-packed kernels A/B under the
+    interpreter (pallas_solve keeps the two-kernel path there — the Mosaic
+    interpreter deadlocks on the one-pass kernel under many shard_map device
+    threads). The default is pallas_solve-SPECIFIC: when pairing the dump
+    with `pallas_fused_solve_core(interpret=True)` (which runs the planar
+    core whenever `plan.planar`, interpreter or not), pass `planar=True`
+    explicitly, or the dump replays the wrong stream."""
     fam_name = family_for(dyn, cost)
     plan = make_plan(
         K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
@@ -1642,10 +1683,10 @@ def _onepass_solve_kernel(
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)]
     u_ref,      # VMEM (SUB, Tpad)
     p_ref,      # VMEM (SUB, NP)
-    u3_ref,     # VMEM (T, SUB, LANE): lane-replicated U table (leading-dim read)
-    s_ref,      # out VMEM (G, KB) blocks: per-rollout costs
-    du_ref,     # out VMEM (SUB, Tpad): ΔU
-    *rest,      # [bn_ref (SMEM out (1,2): local β, η — normalize=False only)]
+    *rest,      # [u3_ref (T, SUB, LANE) lane-replicated U table — plan.u3 only]
+                # + s_ref (out, (G, KB) blocks: per-rollout costs)
+                # + du_ref (out, (SUB, Tpad): ΔU)
+                # + [bn_ref (SMEM out (1,2): local β, η — normalize=False only)]
                 # + scratches: eps stage (Tc, SUB, KB), run (1,2) SMEM, acc
     plan: PallasPlan,
     normalize: bool = True,
@@ -1675,6 +1716,9 @@ def _onepass_solve_kernel(
     β = pmin(β_d), η = psum(f_d·η_d), ΔU = psum(f_d·ΔŨ_d)/η with
     f_d = exp((β−β_d)/λ) — three small all-reduces in XLA
     (see controller.pallas_solve)."""
+    rest = list(rest)
+    u3_ref = rest.pop(0) if plan.u3 else None
+    s_ref, du_ref = rest.pop(0), rest.pop(0)
     if normalize:
         eps_scr, run_scr, acc_scr = rest
     else:
@@ -1690,7 +1734,8 @@ def _onepass_solve_kernel(
         run_scr[0, 1] = jnp.float32(0.0)   # η_run
 
     S = _rollout_phase_S(i, seeds, scal_ref, u_ref, p_ref, plan,
-                         eps_out=eps_scr, u3_at=lambda t: u3_ref[t])
+                         eps_out=eps_scr,
+                         u3_at=(lambda t: u3_ref[t]) if plan.u3 else None)
     s_ref[:, :] = S
     _online_softmin_step(
         S, lam, run_scr, acc_scr,
@@ -1768,14 +1813,19 @@ def pallas_fused_solve_core(
     )
     bn = None
     if plan.onepass:
-        # lane-replicated U table for the kernel's leading-dim step read
-        # (XLA-side broadcast; 4·T·SUB·LANE bytes = 4 KB per step of VMEM)
-        u3 = jnp.broadcast_to(
-            u_tile[:, : plan.T].T[:, :, None], (plan.T, SUB, LANE)
-        )
-        common["in_specs"] = common["in_specs"] + [
-            pl.BlockSpec((plan.T, SUB, LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ]
+        inputs = (ints, scal, u_tile, p)
+        if plan.u3:
+            # lane-replicated U table for the kernel's leading-dim step read
+            # (XLA-side broadcast; 4·T·SUB·LANE bytes = 4 KB per step of VMEM;
+            # plan.u3 is False at long T where the table would blow VMEM —
+            # the kernel then one-hot-extracts U[t] from u_tile instead)
+            u3 = jnp.broadcast_to(
+                u_tile[:, : plan.T].T[:, :, None], (plan.T, SUB, LANE)
+            )
+            inputs = inputs + (u3,)
+            common["in_specs"] = common["in_specs"] + [
+                pl.BlockSpec((plan.T, SUB, LANE), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            ]
         out_specs = [
             pl.BlockSpec((plan.G, plan.KB), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((SUB, plan.Tpad), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1795,7 +1845,7 @@ def pallas_fused_solve_core(
                 pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
             ],
             **common,
-        )(ints, scal, u_tile, p, u3)
+        )(*inputs)
         S, dU = out[0], out[1]
         if not normalize:
             bn = out[2]
@@ -2394,19 +2444,19 @@ def _fleet_onepass_solve_kernel(
     scal_ref,   # SMEM (1, 5) f32:  [dt, cost λ, softmin λ, OU β, √(1−β²)] (shared)
     u_ref,      # VMEM (1, SUB, Tpad): robot r's nominal U block
     p_ref,      # VMEM (1, SUB, NP): robot r's family parameter pack
-    u3_ref,     # VMEM (1, T, SUB, LANE): robot r's lane-replicated U table.
-                # ~4·T·SUB·LANE bytes (0.8 MB at T=200) of HBM per robot,
-                # DMA'd once per robot per solve (the index map is constant
-                # in i) — fine to R~10³; the planar fleet kernel shows the
-                # leaner alternative (SMEM-windowed (T, A) scalar reads),
-                # which the row-packed layout could adopt by assembling its
-                # packed-row column from A SMEM scalars
-    s_ref,      # out VMEM (1, G, KB) blocks: robot r's tile-i costs
-    du_ref,     # out VMEM (1, SUB, Tpad): robot r's ΔU
-    eps_scr,    # VMEM scratch (Tc, SUB, KB): ε stage buffer, recycled per tile
-    run_scr,    # SMEM scratch (1, 2) f32: robot-local [β_run, η_run]
-    acc_scr,    # VMEM scratch (SUB, Tpad): robot-local unnormalized Σ w̃ ε
-    *, plan: PallasPlan,
+    *rest,      # [u3_ref (1, T, SUB, LANE): robot r's lane-replicated U
+                # table — plan.u3 only. ~4·T·SUB·LANE bytes (0.8 MB at T=200)
+                # of HBM per robot, DMA'd once per robot per solve (the index
+                # map is constant in i) — fine to R~10³; the planar fleet
+                # kernel shows the leaner alternative (SMEM-windowed (T, A)
+                # scalar reads). At long T (plan.u3 False) the kernel
+                # one-hot-extracts U[t] from u_ref instead.]
+                # + s_ref (out VMEM (1, G, KB) blocks: robot r's tile-i costs)
+                # + du_ref (out VMEM (1, SUB, Tpad): robot r's ΔU)
+                # + eps_scr (VMEM scratch (Tc, SUB, KB): ε stage, per tile)
+                # + run_scr (SMEM scratch (1, 2) f32: robot [β_run, η_run])
+                # + acc_scr (VMEM scratch (SUB, Tpad): robot's Σ w̃ ε)
+    plan: PallasPlan,
 ):
     """One-pass fleet solve: grid (R, nk) — robot r's online-softmin sweep
     over its K-tiles, the SAME per-tile body as :func:`_onepass_solve_kernel`
@@ -2415,6 +2465,9 @@ def _fleet_onepass_solve_kernel(
     the SMEM seed row; the scratch state resets at each robot's i == 0, so
     the scratch buffers recycle robot to robot exactly like the two-pass
     fleet kernel's."""
+    rest = list(rest)
+    u3_ref = rest.pop(0) if plan.u3 else None
+    s_ref, du_ref, eps_scr, run_scr, acc_scr = rest
     r, i = pl.program_id(0), pl.program_id(1)
     lam = scal_ref[0, 2]
     seeds = (ints_ref[r, 0], ints_ref[r, 1], ints_ref[r, 2])
@@ -2427,7 +2480,8 @@ def _fleet_onepass_solve_kernel(
         run_scr[0, 1] = jnp.float32(0.0)   # η_run
 
     S = _rollout_phase_S(i, seeds, scal_ref, u_all, p, plan,
-                         eps_out=eps_scr, u3_at=lambda t: u3_ref[0, t])
+                         eps_out=eps_scr,
+                         u3_at=(lambda t: u3_ref[0, t]) if plan.u3 else None)
     s_ref[0] = S
     _online_softmin_step(
         S, lam, run_scr, acc_scr,
@@ -2506,17 +2560,22 @@ def pallas_fleet_solve_core(
         pl.BlockSpec((1, SUB, NP), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
     ]
     if plan.onepass:
-        # per-robot lane-replicated U tables for the leading-dim step read
-        u3 = jnp.broadcast_to(
-            jnp.swapaxes(u[:, :, : plan.T], 1, 2)[:, :, :, None],
-            (R, plan.T, SUB, LANE),
-        )
+        inputs = (ints, scal, u, p)
+        fleet_in_specs = list(in_specs)
+        if plan.u3:
+            # per-robot lane-replicated U tables for the leading-dim step read
+            u3 = jnp.broadcast_to(
+                jnp.swapaxes(u[:, :, : plan.T], 1, 2)[:, :, :, None],
+                (R, plan.T, SUB, LANE),
+            )
+            inputs = inputs + (u3,)
+            fleet_in_specs.append(
+                pl.BlockSpec((1, plan.T, SUB, LANE), lambda r, i: (r, 0, 0, 0), memory_space=pltpu.VMEM)
+            )
         S, dU = pl.pallas_call(
             functools.partial(_fleet_onepass_solve_kernel, plan=plan),
             grid=(R, nk),
-            in_specs=in_specs + [
-                pl.BlockSpec((1, plan.T, SUB, LANE), lambda r, i: (r, 0, 0, 0), memory_space=pltpu.VMEM),
-            ],
+            in_specs=fleet_in_specs,
             out_specs=(
                 pl.BlockSpec((1, plan.G, plan.KB), lambda r, i: (r, 0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, SUB, plan.Tpad), lambda r, i: (r, 0, 0), memory_space=pltpu.VMEM),
@@ -2527,7 +2586,7 @@ def pallas_fleet_solve_core(
                 pltpu.VMEM((SUB, plan.Tpad), jnp.float32),
             ],
             **common,
-        )(ints, scal, u, p, u3)
+        )(*inputs)
     else:
         S, dU = pl.pallas_call(
             functools.partial(_fleet_fused_solve_kernel, plan=plan),

@@ -91,6 +91,53 @@ def test_plan_geometry():
     assert plan1.G == 8 and plan1.Kpad >= 8
 
 
+def test_onepass_longT_eligibility_and_u3():
+    """ADVICE round 3: (a) the antithetic halved-stage eligibility must be
+    computed from the raw byte quotient BEFORE gran-flooring (T=1400 anti
+    used to silently fall back to two-pass); (b) one-pass plans near the
+    VMEM ceiling must account for the lane-replicated U table — at long T
+    the plan drops it (u3=False) and the kernel one-hot-extracts U[t]."""
+    p = pr.make_plan(100_000, 1400, 2, antithetic=True)
+    assert p.onepass and not p.planar
+    assert not p.u3  # stage (~11 MB) + U table (~5.8 MB) would exceed VMEM
+    assert p.KB * (p.Tc * 8 * 4 // 2) <= 15 * 2**20  # halved stage fits ceil
+    # iid at the same horizon: stage fits only without the U table
+    p2 = pr.make_plan(100_000, 1400, 2)
+    assert p2.onepass and not p2.u3
+    # far beyond VMEM even with the halved stage: two-pass fallback
+    assert not pr.make_plan(100_000, 4000, 2, antithetic=True).onepass
+    # headline plans are untouched: U table kept, swept tile widths
+    assert pr.make_plan(100_000, 200, 2).u3
+    p3 = pr.make_plan(100_000, 200, 3)
+    assert p3.planar and p3.u3 and p3.KB == 1792
+
+
+def test_onepass_no_u3_kernel_matches_oracle(monkeypatch):
+    """End-to-end one-pass solve on a u3-less plan (the long-T form), at
+    test scale by shrinking the budget knobs: the one-hot U[t] extraction
+    must give the identical solve as the oracle fed the host-twin noise."""
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    monkeypatch.setenv("MPPI_PALLAS_EPS_VMEM_MB", "0.5")
+    monkeypatch.setenv("MPPI_PALLAS_VMEM_CEIL_MB", "0.75")
+    A, T, K = 2, 64, 300
+    dyn, cost, x0, U, sigma = _setup(A, T, K)
+    key, lam = jax.random.key(3), jnp.float32(1.1)
+    plan = pr.make_plan(K, T, A, testmode=True)
+    assert plan.onepass and not plan.u3 and plan.KB == 256
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(S_oracle), rtol=3e-5)
+    sm = softmin_weights(Sf, lam)
+    dU_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], sm.weights[:K])
+    np.testing.assert_allclose(
+        np.asarray(dUf), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6
+    )
+
+
 @pytest.mark.hardware
 def test_pallas_on_real_tpu():
     """Full kernel semantics on hardware; skips cleanly when no TPU."""
