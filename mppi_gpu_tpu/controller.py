@@ -228,11 +228,22 @@ def pallas_solve(
         )
         if (
             (plan.onepass or plan.planar)
-            and not interpret  # the Mosaic interpreter deadlocks on the
-            # one-pass kernel under 8 shard_map device threads (io_callback
-            # pool); the virtual-mesh tests keep the two-kernel path, the
-            # combine math is unit-tested (test_sharding), and the real-TPU
-            # mesh path is gated by tests/_pallas_tpu_check.py
+            # Under the Mosaic interpreter the one-pass kernel deadlocks
+            # when ≥4 shard_map device threads interpret concurrently (each
+            # thread blocks inside an io_callback — np.array(val) waits on a
+            # value whose computation needs the same starved thread pool).
+            # A 2-device mesh leaves enough slack and is reliable, so the
+            # composed one-pass sharded program IS executable off-TPU:
+            # MPPI_SHARDED_ONEPASS_INTERPRET=1 opts in (used by
+            # tests/_sharded_pallas_check.py's onepass-* scenarios on n=2
+            # meshes in fresh subprocesses). Default interpret dispatch
+            # stays two-kernel so the 8-device virtual-mesh tests keep
+            # working; the real-TPU mesh path is additionally gated by
+            # tests/_pallas_tpu_check.py.
+            and (
+                not interpret
+                or _os.environ.get("MPPI_SHARDED_ONEPASS_INTERPRET", "0") == "1"
+            )
             and _os.environ.get("MPPI_SHARDED_ONEPASS", "1") != "0"
         ):
             # sharded ONE-PASS: each device runs the single-launch fused

@@ -11,16 +11,28 @@ livelock inside the interpreter's store callbacks (observed; resetting
 process interprets the sharded kernels reliably — same pattern as the
 real-TPU subprocess check.
 
-One scenario per process (argv[1] = "iid" | "anti"): a SECOND 8-device
+One scenario per process (argv[1] = "iid" | "anti" | ...): a SECOND 8-device
 shard_map interpret program in the same process hangs the interpreter with
 high probability (jax 0.9.0), so the pytest wrapper launches one subprocess
 per scenario.
+
+The `onepass-*` scenarios run THE DEFAULT multi-chip code path — the
+single-launch one-pass fused core per device + the associative softmin
+combine (controller.pallas_solve, β = pmin, η/ΔU = psum) — composed under
+shard_map on a 2-device mesh. Two devices because the interpreter's device
+threads block inside io_callbacks whose arguments are produced on the same
+thread pool; at n≥4 the pool starves and the program livelocks (observed:
+one thread in `_barrier`, the rest in `_allocate_buffer`'s np.array(val)).
+n=2 leaves slack and is reliable (the numerics are device-count-invariant —
+the combine is associative — so n=2 composition plus the n-free unit test
+of the combine algebra covers the path).
 
 Prints SHARDED_PALLAS_OK on success.
 """
 
 import faulthandler
 import os
+import re
 import sys
 
 # self-diagnosing watchdog: when the interpreter livelocks (see module
@@ -28,11 +40,20 @@ import sys
 # wrapper's retry starts immediately instead of waiting out its timeout
 faulthandler.dump_traceback_later(120, exit=True)
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+scenario = sys.argv[1] if len(sys.argv) > 1 else "iid"
+N_DEV = 2 if scenario.startswith("onepass") else 8
+if scenario.startswith("onepass"):
+    # opt the controller's sharded dispatch into the one-pass branch under
+    # the interpreter (safe at n=2; see module docstring)
+    os.environ["MPPI_SHARDED_ONEPASS_INTERPRET"] = "1"
+
+_flags = re.sub(
+    r"--xla_force_host_platform_device_count=\d+", "",
+    os.environ.get("XLA_FLAGS", ""),
+).strip()
+os.environ["XLA_FLAGS"] = (
+    _flags + f" --xla_force_host_platform_device_count={N_DEV}"
+).strip()
 
 import jax
 
@@ -59,10 +80,12 @@ def make_cfg(K, T, a, antithetic=False):
     )
 
 
-def check(K, T, a, antithetic, key_seed, x, U, cfg=None):
+def check(K, T, a, antithetic, key_seed, x, U, cfg=None, onepass=False):
     """Sharded pallas-interpret solve vs single-device oracle on the
-    concatenated per-shard pseudo-noise."""
-    n = 8
+    concatenated per-shard pseudo-noise. With `onepass`, the solve runs the
+    DEFAULT one-pass sharded branch (asserted below) instead of the
+    two-kernel fallback."""
+    n = N_DEV
     mesh = make_mesh(n)
     if cfg is None:
         cfg = make_cfg(K, T, a, antithetic)
@@ -82,10 +105,26 @@ def check(K, T, a, antithetic, key_seed, x, U, cfg=None):
 
     k_loc = K // n
     sigma = jnp.asarray(cfg.noise, jnp.float32)
-    plan = pr.make_plan(k_loc, T, a, antithetic=antithetic, testmode=True)
+    fam = pr.family_for(ctrl.dynamics, ctrl.cost)
+    plan = pr.make_plan(
+        k_loc, T, a, antithetic=antithetic, testmode=True, family=fam,
+        extra=pr._plan_extra(pr.FAMILIES[fam], ctrl.cost),
+    )
+    if onepass:
+        # the dispatch preconditions of the one-pass sharded branch
+        # (controller.pallas_solve): with these true and the opt-in env var
+        # set, the solve above RAN the composed one-pass program
+        assert plan.onepass or plan.planar, plan
+        assert os.environ.get("MPPI_SHARDED_ONEPASS_INTERPRET") == "1"
+    # host twin of the stream the executed kernels consumed: the planar
+    # one-pass core reads the planar stream; everything else is row-packed
+    twin = (
+        pr.planar_fake_noise_tensor if (onepass and plan.planar)
+        else pr.fake_noise_tensor
+    )
     eps = jnp.concatenate(
         [
-            pr.fake_noise_tensor(plan, sigma, key=jax.random.fold_in(key, d))[:, :k_loc, :]
+            twin(plan, sigma, key=jax.random.fold_in(key, d))[:, :k_loc, :]
             for d in range(n)
         ],
         axis=1,
@@ -107,7 +146,6 @@ def check(K, T, a, antithetic, key_seed, x, U, cfg=None):
     np.testing.assert_allclose(float(res.info.weights.sum()), 1.0, rtol=1e-5)
 
 
-scenario = sys.argv[1] if len(sys.argv) > 1 else "iid"
 if scenario == "iid":
     # plain iid noise: per-shard key folding, K-padding masking, the three
     # collectives between kernels A and B
@@ -153,6 +191,37 @@ elif scenario == "quadrotor":
             goal=(1.0, 0.5, 0.0, 0.0, 0.0, 0.0), cost_type="quadrotor",
             cost_w=(4.0, 4.0, 10.0, 1.5, 1.5, 2.0),
         ),
+    )
+elif scenario == "onepass-iid":
+    # THE default multi-chip path: one-pass fused core per device +
+    # associative softmin combine (β pmin, η/ΔU psum), composed under
+    # shard_map on the 2-device mesh — the row-packed one-pass kernel
+    # (A=2 keeps SUB % A == 0, so plan.planar is False)
+    check(
+        2 * 96, 9, 2, False, 11,
+        jnp.asarray([0.3, -0.2, 0.1, 0.0], jnp.float32),
+        0.05 * jnp.ones((9, 2), jnp.float32),
+        onepass=True,
+    )
+elif scenario == "onepass-anti":
+    # antithetic one-pass sharded: the halved ε stage + (w⁺ − w⁻)·ε⁺ fold
+    # under the cross-device combine
+    check(
+        2 * 64, 6, 2, True, 5,
+        jnp.zeros(4, jnp.float32),
+        0.1 * jnp.ones((6, 2), jnp.float32),
+        onepass=True,
+    )
+elif scenario == "onepass-planar":
+    # A=3 → the PLANAR one-pass core per device (what a real 3-D point-mass
+    # mesh deployment runs), still three all-reduces across the mesh
+    a = 3
+    check(
+        2 * 96, 7, a, False, 13,
+        jnp.asarray([0.3, -0.2, 0.1, 0.0, 0.05, -0.05], jnp.float32),
+        0.05 * jnp.ones((7, a), jnp.float32),
+        onepass=True,
+        cfg=make_cfg(2 * 96, 7, a),
     )
 elif scenario == "fleet":
     # fleet × mesh × fused fleet kernel: R robots sharded as whole robots

@@ -102,16 +102,31 @@ def test_sharded_rejects_uneven_K(mesh8):
         )
 
 
-@pytest.mark.parametrize("scenario", ["iid", "anti", "pendulum", "quadrotor", "fleet"])
+@pytest.mark.parametrize(
+    "scenario",
+    [
+        "iid", "anti", "pendulum", "quadrotor", "fleet",
+        # the DEFAULT multi-chip dispatch: one-pass fused core per device +
+        # associative softmin combine, composed under shard_map on a
+        # 2-device mesh (2 because ≥4 interpreter device threads starve the
+        # io_callback pool — see _sharded_pallas_check.py docstring); the
+        # row-packed, antithetic, and planar kernel forms
+        "onepass-iid", "onepass-anti", "onepass-planar",
+    ],
+)
 @pytest.mark.mesh_subprocess
 def test_sharded_pallas_testmode_matches_oracle(scenario):
-    """THE production multi-chip configuration — the two-kernel Pallas path
-    under `shard_map` with real pmin/psum across 8 shards — executed on the
-    virtual mesh via the interpreter in testmode, and verified against the
-    single-device deterministic solve fed the exact per-shard pseudo-noise
-    (per-shard key folding → distinct kernel noise streams, K-padding
-    masking per shard, β=pmin / η=psum between kernels A and B, ΔU psum;
-    iid and antithetic scenarios).
+    """The multi-chip Pallas configurations under `shard_map` with real
+    pmin/psum collectives, executed on a virtual mesh via the interpreter in
+    testmode and verified against the single-device deterministic solve fed
+    the exact per-shard pseudo-noise (per-shard key folding → distinct
+    kernel noise streams, K-padding masking per shard).
+
+    Plain scenarios run the two-kernel fallback on 8 shards (β=pmin /
+    η=psum between kernels A and B, ΔU psum); `onepass-*` scenarios run the
+    DEFAULT sharded dispatch — the single-launch one-pass core per device
+    with the associative softmin combine (controller.pallas_solve) — on a
+    2-device mesh.
 
     Each scenario runs in its own SUBPROCESS with retries
     (tests/_sharded_pallas_check.py): jax 0.9.0's Mosaic interpreter can
