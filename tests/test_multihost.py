@@ -24,3 +24,22 @@ def test_multihost_bootstrap_single_process():
     assert "MULTIHOST_OK" in out.stdout, (
         f"stdout:\n{out.stdout}\nstderr:\n{out.stderr[-3000:]}"
     )
+
+
+@pytest.mark.mesh_subprocess
+def test_multihost_two_real_processes():
+    """A REAL 2-process cluster (coordinator + worker OS processes, 4
+    virtual CPU devices each): the global 8-device mesh spans both, the
+    sharded solve's three collectives cross the process boundary over
+    XLA:CPU's Gloo transport, and BOTH processes must independently match
+    the single-device deterministic oracle (replicated action/u_next plus
+    each process's addressable K-shards). The strongest multi-host evidence
+    obtainable without pod hardware — see tests/_multiproc_check.py."""
+    script = os.path.join(os.path.dirname(__file__), "_multiproc_check.py")
+    out = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, timeout=300,
+        env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
+    )
+    assert out.returncode == 0 and "MULTIPROC_OK" in out.stdout, (
+        f"rc={out.returncode}\nstdout:\n{out.stdout}\nstderr:\n{out.stderr[-3000:]}"
+    )
