@@ -164,9 +164,15 @@ def _chained_stats(make_chain, chain_args, iters: int, warmup: int,
     (t(n_big) − t(n_small)) / (n_big − n_small). Constant dispatch/fetch
     overhead cancels exactly.
 
-    Statistics are honest paired estimates: rep i yields
-    est_i = (t_big_i − t_small_i)/Δn; we report the median, min, max and
-    spread over `reps` such estimates — nothing is fabricated from the mean.
+    Statistics are honest paired estimates: rep i runs TWO interleaved
+    (small, big) pairs and yields est = mean of the two half-estimates
+    (t_big − t_small)/Δn — accepted only when the halves agree within 30 %.
+    A transient stall (tunnel hiccup, host preemption) lands in one half
+    but almost never in both, so disagreeing halves are discarded and
+    re-measured instead of poisoning the tails (round-3 tables showed
+    4-13× min..max spreads from exactly this failure mode). We report the
+    median, IQR, min and max over `reps` accepted estimates — nothing is
+    fabricated from the mean.
     """
     import time
 
@@ -183,28 +189,36 @@ def _chained_stats(make_chain, chain_args, iters: int, warmup: int,
 
     timed(small), timed(big)  # compile + warm
     ests, discarded = [], 0
-    while len(ests) < reps and discarded < 2 * reps:
-        ts, tb = timed(small), timed(big)
-        est = (tb - ts) * 1e3 / (n_big - n_small)
-        if est <= 0.0:
-            # a solve cannot take negative time: the small-chain run hit a
-            # transient stall (tunnel hiccup, host preemption). Discard the
-            # invalid pair and re-measure rather than poisoning the stats.
+    while len(ests) < reps and discarded < 3 * reps:
+        ts1, tb1 = timed(small), timed(big)
+        ts2, tb2 = timed(small), timed(big)
+        e1 = (tb1 - ts1) * 1e3 / (n_big - n_small)
+        e2 = (tb2 - ts2) * 1e3 / (n_big - n_small)
+        if e1 <= 0.0 or e2 <= 0.0:
+            # a solve cannot take negative time: a transient stall hit the
+            # small-chain run of that half
             discarded += 1
             continue
-        ests.append(est)
+        if abs(e1 - e2) / min(e1, e2) > 0.30:
+            # the halves disagree by >30 %: one of them absorbed a stall;
+            # no way to tell which, so drop the whole rep
+            discarded += 1
+            continue
+        ests.append(0.5 * (e1 + e2))
     if not ests:
         # fail loudly rather than emitting NaN statistics into the JSON
         # line / BASELINE table; the supervisor retries in a fresh process
         raise RuntimeError(
-            f"no valid paired estimates after {discarded} discarded pairs "
+            f"no valid paired estimates after {discarded} discarded reps "
             "(persistently stalled runtime?)"
         )
     ests = sorted(ests)
+    q25, q75 = float(np.percentile(ests, 25)), float(np.percentile(ests, 75))
     out = {
         "p50_ms": float(np.median(ests)),
         "min_ms": ests[0],
         "max_ms": ests[-1],
+        "iqr_ms": q75 - q25,
         "spread_ms": ests[-1] - ests[0],
         "reps": len(ests),
         "estimates_ms": [round(e, 4) for e in ests],
@@ -530,6 +544,111 @@ def run_fleet_episode(args) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Roofline model (hardware-limit accounting for the autogen table).
+#
+# v5e public roofs: HBM ~819 GB/s; VPU f32 elementwise ~3.9e12 op/s
+# ((8 sublanes x 128 lanes) x 4 ALUs x ~0.94 GHz). The fused kernels touch
+# essentially zero HBM (docs/kernels.md "memory argument"), so their roof is
+# VPU issue rate; the model below converts each row's known per-step work
+# into a floor time at that rate and reports p50/floor as "% of roof".
+#
+# Calibration: transcendentals (log/sin/cos/sqrt/div) lower to multi-op
+# polynomial sequences. The measured noise-only kernel (generate-and-discard
+# Box-Muller, docs/kernels.md roofline table) runs at 19 ps/normal; at
+# 4 poly ops + 2 transcendentals per normal that pins one transcendental at
+# ~34 poly-op equivalents — the single fitted constant in the model.
+V5E_VPU_OPS = 3.85e12
+V5E_HBM_GBPS = 819.0
+V5E_MXU_F32_TFLOPS = 49.0   # ~bf16 roof (197) / 4 for f32 matmuls
+TRANSC_UNITS = 34
+NOISE_UNITS = 4.0 + 2 * TRANSC_UNITS   # poly-op equivalents per normal (= 72)
+UPDATE_UNITS = 2.0                     # mul+add per staged-ε element re-read
+
+# (poly ops, transcendentals) per tile element per horizon step, hand-counted
+# from each family's build() closures in ops/pallas_rollout.py (dynamics RK2
+# + state cost + u_eff/accumulate). Obstacle adds ~12 poly per obstacle.
+FAMILY_STEP_UNITS = {
+    "lti": (18, 0),
+    "lti-obstacle": (18 + 12 * 2, 0),  # 2 obstacles in the bench config
+    "pendulum": (23, 3),
+    "cartpole": (45, 7),
+    "quadrotor": (49, 5),
+    "quadrotor3d": (175, 1),
+    "unicycle": (22, 3),
+}
+FAMILY_A = {"lti": 3, "lti-obstacle": 3, "pendulum": 1, "cartpole": 1,
+            "quadrotor": 2, "quadrotor3d": 4, "unicycle": 2}
+_BENCH_FAMILY = {"obstacle": "lti-obstacle"}  # bench flag name -> family name
+
+
+def _roofline(family: str, K: int, T: int, antithetic: bool, backend: str,
+              p50_ms: float, mlp: bool = False, state_dim: int = 6,
+              action_dim: int = 3) -> dict:
+    """Modeled hardware-limit accounting for one bench row: which v5e roof
+    binds, the modeled floor time at that roof, and p50/floor as % of roof."""
+    if mlp:
+        # MXU workload: 2 matmuls of 128x128 + in/out projections per
+        # (sample, step); f32 on the MXU runs at ~1/4 the bf16 rate
+        h = 128
+        flops = 2.0 * K * T * ((state_dim + action_dim) * h + h * h + h * state_dim)
+        tflops = flops / (p50_ms * 1e-3) / 1e12
+        return {
+            "roof": "MXU",
+            "floor_ms": round(flops / (V5E_MXU_F32_TFLOPS * 1e12) * 1e3, 3),
+            "pct": round(100.0 * tflops / V5E_MXU_F32_TFLOPS, 1),
+            "achieved": f"{tflops:.1f} TFLOP/s f32",
+        }
+    fam = _BENCH_FAMILY.get(family, family)
+    A = FAMILY_A[fam]
+    if backend == "scan":
+        # the scan path materializes eps (T, K, A) in HBM: one PRNG write +
+        # a rollout read + an update-einsum read = 3 passes (plus small
+        # state/cost traffic, ignored)
+        gb = 3.0 * 4 * T * K * A / 1e9
+        gbps = gb / (p50_ms * 1e-3)
+        return {
+            "roof": "HBM",
+            "floor_ms": round(gb / V5E_HBM_GBPS * 1e3, 3),
+            "pct": round(100.0 * gbps / V5E_HBM_GBPS, 1),
+            "achieved": f"{gbps:.0f} GB/s",
+        }
+    from mppi_gpu_tpu.ops.pallas_rollout import SUB, make_plan
+
+    plan = make_plan(K, T, A, antithetic, family=fam,
+                     extra=(2 if fam == "lti-obstacle" else 0))
+    if plan.planar:
+        elems = float(T) * plan.grid_p * A * SUB * plan.KBp  # per rollout: A
+    else:
+        elems = float(T) * plan.grid * SUB * plan.KB  # per rollout: SUB/G
+    normals = elems / 2 if antithetic else elems
+    if not plan.onepass:
+        normals *= 2  # two-pass regenerates the stream in kernel B
+    poly, transc = FAMILY_STEP_UNITS[fam]
+    noise_units = normals * NOISE_UNITS
+    work_units = (
+        elems * (poly + transc * TRANSC_UNITS)
+        + (normals if plan.onepass else elems) * UPDATE_UNITS
+    )
+    # The VPU dual-issues: the transcendental-heavy noise stream and the
+    # mostly-polynomial dynamics/cost stream overlap (measured: the full LTI
+    # one-pass solve runs within ~20-25 % of the noise-ONLY kernel,
+    # docs/kernels.md "Achieved vs ceiling"), so the floor is the LARGER
+    # stream, not the sum.
+    bind = "noise-bound" if noise_units >= work_units else "dynamics-bound"
+    floor_ms = max(noise_units, work_units) / V5E_VPU_OPS * 1e3
+    return {
+        "roof": "VPU",
+        "floor_ms": round(floor_ms, 3),
+        "pct": round(100.0 * floor_ms / p50_ms, 1),
+        "achieved": bind,
+    }
+
+
+def _fmt_roofline(r: dict) -> str:
+    return f"{r['roof']} {r['pct']:.0f}% of roof ({r['achieved']}, floor {r['floor_ms']:.2f} ms)"
+
+
 ALL_CASES = [
     # (K, backend, antithetic, iters, family)
     (10_000, "scan", False, 60, "lti"),
@@ -565,21 +684,27 @@ def run_all(args) -> dict:
             continue
         s = bench_solve(K, args.t, backend, iters, 3, anti, family=family)
         row = {"K": K, "backend": backend, "antithetic": anti, "family": family, **s}
+        row["roofline"] = _roofline(family, K, args.t, anti, backend, s["p50_ms"])
         results.append(row)
         tag = backend + (" + antithetic" if anti else "")
         if family != "lti":
             tag += f" [{family}]"
-        print(f"K={K:>7} {tag:<22} {_fmt(s)}", file=sys.stderr)
+        print(f"K={K:>7} {tag:<22} {_fmt(s)}  [{_fmt_roofline(row['roofline'])}]",
+              file=sys.stderr)
     mlp = bench_solve(10_000, args.t, "scan", 20, 3, mlp=True)
-    results.append({"K": 10_000, "backend": "mlp-scan", "antithetic": False,
-                    "family": "mlp", **mlp})
+    mlp_row = {"K": 10_000, "backend": "mlp-scan", "antithetic": False,
+               "family": "mlp", **mlp}
+    mlp_row["roofline"] = _roofline("lti", 10_000, args.t, False, "scan",
+                                    mlp["p50_ms"], mlp=True)
+    results.append(mlp_row)
     print(f"K=  10000 {'MLP(128x128) scan':<22} {_fmt(mlp)}", file=sys.stderr)
 
     table = _markdown_table(results, args.t)
     print(table, file=sys.stderr)
     if args.update_baseline:
         _update_baseline_md(table)
-        print("BASELINE.md measured-results table updated", file=sys.stderr)
+        _update_readme_md(results, args.t)
+        print("BASELINE.md + README.md autogen tables updated", file=sys.stderr)
     head = next(
         (r for r in results if r["K"] == 10_000 and r["backend"] == "pallas"),
         results[0],
@@ -595,8 +720,9 @@ def run_all(args) -> dict:
 
 def _markdown_table(results: list[dict], T: int) -> str:
     lines = [
-        "| Workload | Backend | ms/solve (p50) | min..max | vs reference ~300 ms |",
-        "|---|---|---|---|---|",
+        "| Workload | Backend | ms/solve (p50) | IQR | min..max "
+        "| roofline (modeled) | vs reference ~300 ms |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in results:
         tag = {"scan": "XLA scan", "pallas": "fused Pallas", "mlp-scan":
@@ -611,11 +737,84 @@ def _markdown_table(results: list[dict], T: int) -> str:
             f"{BASELINE_MS / r['p50_ms']:.0f}x"
             if r["K"] == 10_000 and fam == "lti" else "—"
         )
+        roof = _fmt_roofline(r["roofline"]) if "roofline" in r else "—"
+        iqr = f"{r['iqr_ms']:.2f}" if "iqr_ms" in r else "—"
         lines.append(
-            f"| {work} | {tag} | {r['p50_ms']:.2f} "
-            f"| {r['min_ms']:.2f}..{r['max_ms']:.2f} | {vs} |"
+            f"| {work} | {tag} | {r['p50_ms']:.2f} | {iqr} "
+            f"| {r['min_ms']:.2f}..{r['max_ms']:.2f} | {roof} | {vs} |"
         )
     return "\n".join(lines)
+
+
+def _readme_table(results: list[dict], T: int) -> str:
+    """The README headline table, generated from the SAME run_all results
+    that write BASELINE.md — one source of truth, drift impossible."""
+    by = {(r["K"], r["backend"], r["family"], r["antithetic"]): r
+          for r in results}
+
+    def p50(K, backend, family="lti", anti=False):
+        r = by.get((K, backend, family, anti))
+        return r["p50_ms"] if r else None
+
+    def cell(v, suffix=""):
+        return f"**{v:.2f} ms{suffix}**" if v is not None else "—"
+
+    lines = [
+        "| Workload | Reference GPU baseline | scan backend | **pallas backend** |",
+        "|---|---|---|---|",
+    ]
+    v = p50(10_000, "pallas")
+    lines.append(
+        f"| K=10⁴, T={T}, 3-D point mass | ~300 ms/solve "
+        f"| {p50(10_000, 'scan'):.1f} ms "
+        f"| {cell(v, f' (≈{BASELINE_MS / v:.0f}×)' if v else '')} |"
+    )
+    v, va = p50(100_000, "pallas"), p50(100_000, "pallas", anti=True)
+    anti_txt = f" ({va:.2f} antithetic)" if va is not None else ""
+    lines.append(
+        f"| K=10⁵, T={T} | — (north star < 50 ms) "
+        f"| {p50(100_000, 'scan'):.1f} ms | {cell(v)}{anti_txt} |"
+    )
+    v = p50(1_000_000, "pallas")
+    lines.append(f"| K=10⁶, T={T} | — | — | {cell(v)} |")
+    fam_label = {
+        "cartpole": "cart-pole", "pendulum": "pendulum", "obstacle": "obstacle",
+        "quadrotor": "quadrotor", "quadrotor3d": "quadrotor3d (13-state SE(3))",
+        "unicycle": "unicycle (differential drive)",
+    }
+    for fam in ("cartpole", "pendulum", "obstacle", "quadrotor", "quadrotor3d",
+                "unicycle"):
+        sc, pa = p50(100_000, "scan", fam), p50(100_000, "pallas", fam)
+        if pa is None:
+            continue
+        ratio = f" ({sc / pa:.1f}×)" if sc else ""
+        anti = p50(100_000, "pallas", fam, anti=True)
+        anti_txt = f" ({anti:.1f} antithetic)" if anti is not None else ""
+        lines.append(
+            f"| K=10⁵, T={T} {fam_label[fam]} | — "
+            f"| {sc:.1f} ms | **{pa:.2f} ms{ratio}**{anti_txt} |"
+        )
+    return "\n".join(lines)
+
+
+def _replace_autogen(path: str, marker: str, body: str) -> bool:
+    begin, end = f"<!-- AUTOGEN:{marker} -->", f"<!-- /AUTOGEN:{marker} -->"
+    with open(path) as f:
+        text = f.read()
+    if begin not in text or end not in text:
+        print(f"no AUTOGEN:{marker} markers in {os.path.basename(path)}; "
+              "printing only", file=sys.stderr)
+        return False
+    head, rest = text.split(begin, 1)
+    _, tail = rest.split(end, 1)
+    with open(path, "w") as f:
+        f.write(head + begin + "\n" + body + "\n" + end + tail)
+    return True
+
+
+def _update_readme_md(results: list[dict], T: int) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "README.md")
+    _replace_autogen(path, "headline-table", _readme_table(results, T))
 
 
 def _update_baseline_md(table: str) -> None:
@@ -623,16 +822,7 @@ def _update_baseline_md(table: str) -> None:
     (between the AUTOGEN markers) so the published numbers are reproducible
     by one command."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
-    with open(path) as f:
-        text = f.read()
-    begin, end = "<!-- AUTOGEN:bench-table -->", "<!-- /AUTOGEN:bench-table -->"
-    if begin not in text:
-        print("no AUTOGEN markers in BASELINE.md; printing table only", file=sys.stderr)
-        return
-    head, rest = text.split(begin, 1)
-    _, tail = rest.split(end, 1)
-    with open(path, "w") as f:
-        f.write(head + begin + "\n" + table + "\n" + end + tail)
+    _replace_autogen(path, "bench-table", table)
 
 
 def _build_parser() -> argparse.ArgumentParser:

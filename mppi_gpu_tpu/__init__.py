@@ -28,6 +28,8 @@ from mppi_gpu_tpu.controller import (
     mppi_solve,
     mppi_solve_deterministic,
 )
+from mppi_gpu_tpu.ops.cost import register_cost
+from mppi_gpu_tpu.ops.pallas_rollout import register_family
 
 __version__ = "0.1.0"
 
@@ -39,4 +41,6 @@ __all__ = [
     "SolveResult",
     "mppi_solve",
     "mppi_solve_deterministic",
+    "register_cost",
+    "register_family",
 ]

@@ -1097,6 +1097,83 @@ FAMILIES = {
 # dims solely through the scalar cost accumulator.
 PLANAR_FAMILIES = ("lti", "lti-obstacle")
 
+_BUILTIN_FAMILIES = frozenset(FAMILIES)
+
+
+def register_family(cls):
+    """Register an out-of-tree fused (dynamics, cost) family with the Pallas
+    backend (usable as a class decorator).
+
+    A family teaches the fused kernels one (dynamics, cost) pair: it
+    contributes ONLY the per-step state integration + state-cost tile math
+    (pure elementwise ops on ``(SUB, KB)`` f32 tiles) and its parameter
+    packing. Everything else — on-chip noise generation, nominal-U
+    extraction, K-masking, the online softmin, the weighted update, one-pass
+    ε staging, fleet batching and mesh sharding — is shared machinery and
+    comes for free. After registration the ``'auto'`` backend resolves the
+    pair to the fused Pallas path on TPU exactly like the built-in seven
+    (this is the kernel-side twin of :func:`mppi_gpu_tpu.ops.cost.register_cost`
+    and the models' ``Dynamics`` protocol, which extend the scan path).
+
+    Required protocol (worked template: docs/extending.md; complete
+    out-of-tree family: examples/custom_family.py; verification pattern:
+    tests/test_custom_family.py):
+
+    * ``name: str`` — unique family name.
+    * ``NP: int`` — parameter-pack column count (or classmethod
+      ``np_cols(plan) -> int`` when it depends on ``plan.extra``).
+    * ``supports(dyn, cost) -> bool`` — does this family fuse the pair?
+      Match YOUR concrete types; first matching family wins in
+      :func:`family_for`.
+    * ``pack(dyn, cost, x0, sigma, plan, tileA) -> (SUB, NP) f32`` — the
+      parameter matrix, built host-side (traced) once per solve. Columns 0
+      and 1 MUST be ``tileA(sigma)`` and ``tileA(cost.inv_s)`` (the shared
+      phases read them); ``tileA`` maps an ``(A,)`` vector to a group-tiled
+      ``(SUB,)`` column (row ``g*A+i`` = value for action dim ``i``).
+    * ``build(p_ref, scal_ref, plan) -> (carry0, step, final)`` —
+      kernel-side closures over ``(SUB, plan.KB)`` tiles:
+      ``carry0() -> state`` (a tuple of tiles, typically broadcast from x0
+      columns of ``p_ref``); ``step(state, u_eff) -> (state', c)`` where
+      ``u_eff`` is the group-tiled ``u_t + ε_t`` tile and ``c`` the per-row
+      state-cost increment evaluated on ``x_{t+1}`` (the shared phase adds
+      the generic ``λ·uᵀΣ⁻¹ε`` control term); ``final(state) -> c``.
+      ``scal_ref[0, 0]`` is dt. Two hard rules: (1) ``step`` must mirror the
+      scan-path ``Dynamics.step`` exactly (same integrator, same constants)
+      so the host-twin oracle holds; (2) the per-group sublane reduction
+      sums each group's A rows, so a family with A > 1 must count its state
+      cost ONCE per group (mask all but one row — see the unicycle family's
+      ``even`` mask) while per-dim terms may ride their own rows.
+
+    Optional: ``plan_extra(cost) -> int`` — a static per-cost size (e.g. an
+    obstacle count) stored as ``plan.extra`` and consumed by ``np_cols``.
+
+    Overriding a built-in family name raises ValueError; re-registering a
+    user family (module re-import) silently replaces the previous class.
+    """
+    for attr in ("name", "supports", "pack", "build"):
+        if not hasattr(cls, attr):
+            raise TypeError(
+                f"fused family {cls!r} lacks required attribute '{attr}'"
+            )
+    if not isinstance(cls.name, str) or not cls.name:
+        raise TypeError(f"fused family {cls!r}: 'name' must be a non-empty str")
+    if not hasattr(cls, "NP") and not hasattr(cls, "np_cols"):
+        raise TypeError(
+            f"fused family '{cls.name}' needs an NP column count or np_cols(plan)"
+        )
+    if cls.name in _BUILTIN_FAMILIES:
+        raise ValueError(f"cannot override built-in fused family '{cls.name}'")
+    FAMILIES[cls.name] = cls
+    return cls
+
+
+def unregister_family(name: str) -> None:
+    """Remove a user-registered family (test hygiene). Built-ins are
+    permanent."""
+    if name in _BUILTIN_FAMILIES:
+        raise ValueError(f"cannot unregister built-in fused family '{name}'")
+    FAMILIES.pop(name, None)
+
 
 def _np_cols(fam, plan: "PallasPlan") -> int:
     """Parameter-pack width for this plan (families with variable-size
