@@ -29,8 +29,22 @@ import jax.numpy as jnp
 from mppi_gpu_tpu.config import MPPIConfig
 from mppi_gpu_tpu.models.base import Dynamics
 from mppi_gpu_tpu.ops.cost import Cost, make_cost
-from mppi_gpu_tpu.ops.rollout import rollout_costs
+from mppi_gpu_tpu.ops.rollout import (
+    LANE,
+    rollout_costs,
+    rollout_costs_tiled,
+    round_up_k,
+)
 from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+# Cost assigned to padded rollouts in the tiled layout: +inf, so
+# exp(-(inf-β)/λ) is exactly 0 and padding drops out of β, η and ΔU with no
+# masking on the hot path (the XLA analog of the Pallas kernels' K-masking).
+# Deliberately inf and not a big finite value: when every REAL rollout
+# diverges to inf cost, β-S = inf-inf = NaN must propagate to the action so
+# utils.guard.ControllerDiverged fires — a finite pad cost would win the
+# softmin and silently launder divergence into a finite garbage action.
+PAD_COST = jnp.float32(jnp.inf)
 
 
 class SolveInfo(NamedTuple):
@@ -51,6 +65,61 @@ class SolveResult(NamedTuple):
     info: SolveInfo
 
 
+def sample_noise_tiled(
+    key: jax.Array,
+    T: int,
+    K: int,
+    action_dim: int,
+    sigma: jax.Array,
+    *,
+    antithetic: bool = False,
+    ou_beta: float = 0.0,
+) -> tuple[jax.Array, jax.Array]:
+    """ε ~ N(0, diag(σ²)) in the production tiled layout: returns
+    ``(eps (T, a, R, 128), valid (R, 128) bool)`` with R a multiple of 8 —
+    rollouts live on the (sublane, lane) tile axes, so the horizon scan runs
+    on full VPU tiles (see ops/rollout.py). K is padded up to whole tiles;
+    `valid` marks the real rollouts (padded ones get cost=PAD_COST so their
+    softmin weight underflows to exactly 0).
+
+    Counter-based threefry: fully deterministic given the key — replaces the
+    reference's stateful cuRAND per-thread states (src/point_mass.cu:780)
+    with replayable keys.
+
+    With `antithetic`, rollouts come in mirrored pairs (ε, −ε) — the mirror
+    half is stacked along the R axis: same marginals, lower-variance softmin
+    update, half the PRNG work.
+
+    With `ou_beta` ∈ (0, 1), noise follows the stationary OU recursion
+    e_t = β e_{t−1} + √(1−β²) ν_t over the horizon: unchanged per-step
+    marginals (still N(0, σ²)) but time-correlated — smoother sampled action
+    sequences, which rewards smoother controls out of the softmin."""
+    Keff = K // 2 if antithetic else K
+    Rr = round_up_k(Keff) // LANE
+    nu = jax.random.normal(key, (T, action_dim, Rr, LANE), jnp.float32)
+    if ou_beta > 0.0:
+        c = (1.0 - ou_beta**2) ** 0.5  # keeps the stationary variance at σ²
+
+        def body(prev, n):
+            e = ou_beta * prev + c * n
+            return e, e
+
+        _, tail = jax.lax.scan(body, nu[0], nu[1:])
+        nu = jnp.concatenate([nu[:1], tail], axis=0)
+    sigma_col = jnp.broadcast_to(
+        jnp.asarray(sigma, jnp.float32), (action_dim,)
+    )[:, None, None]
+    eps = sigma_col * nu
+    idx = jax.lax.broadcasted_iota(jnp.int32, (Rr, LANE), 0) * LANE + (
+        jax.lax.broadcasted_iota(jnp.int32, (Rr, LANE), 1)
+    )
+    valid = idx < Keff
+    if antithetic:
+        eps = jnp.concatenate([eps, -eps], axis=2)
+        valid = jnp.concatenate([valid, valid], axis=0)
+    return eps, valid
+
+
 def sample_noise(
     key: jax.Array,
     T: int,
@@ -61,32 +130,23 @@ def sample_noise(
     antithetic: bool = False,
     ou_beta: float = 0.0,
 ) -> jax.Array:
-    """ε ~ N(0, diag(σ²)), shape (T, K, a). Counter-based threefry: fully
-    deterministic given the key — replaces the reference's stateful cuRAND
-    per-thread states (src/point_mass.cu:780) with replayable keys.
-
-    With `antithetic`, rollouts come in mirrored pairs (ε, −ε): same
-    marginals, lower-variance softmin update, half the PRNG work.
-
-    With `ou_beta` ∈ (0, 1), noise follows the stationary OU recursion
-    e_t = β e_{t−1} + √(1−β²) ν_t over the horizon: unchanged per-step
-    marginals (still N(0, σ²)) but time-correlated — smoother sampled action
-    sequences, which rewards smoother controls out of the softmin."""
+    """The (T, K, a) rollout-rank view of the EXACT noise stream the tiled
+    scan solve consumes for these arguments (the debug/oracle form — the
+    scan-backend analog of ops.pallas_rollout.pallas_noise_dump). Rollout k
+    is tile row ``k // 128``, lane ``k % 128`` of :func:`sample_noise_tiled`;
+    under `antithetic` the second K/2 rollouts are the exact mirrors of the
+    first."""
+    eps_t, _ = sample_noise_tiled(
+        key, T, K, action_dim, sigma, antithetic=antithetic, ou_beta=ou_beta
+    )
     Keff = K // 2 if antithetic else K
-    nu = jax.random.normal(key, (T, Keff, action_dim), jnp.float32)
-    if ou_beta > 0.0:
-        c = (1.0 - ou_beta**2) ** 0.5  # keeps the stationary variance at σ²
-
-        def body(prev, n):
-            e = ou_beta * prev + c * n
-            return e, e
-
-        _, tail = jax.lax.scan(body, nu[0], nu[1:])
-        nu = jnp.concatenate([nu[:1], tail], axis=0)
-    eps = sigma * nu
+    Rr = eps_t.shape[2] // (2 if antithetic else 1)
+    flat = jnp.swapaxes(
+        eps_t[:, :, :Rr].reshape(T, action_dim, Rr * LANE), 1, 2
+    )[:, :Keff]
     if antithetic:
-        eps = jnp.concatenate([eps, -eps], axis=1)
-    return eps
+        flat = jnp.concatenate([flat, -flat], axis=1)
+    return flat
 
 
 def shift_action_seq(u_seq: jax.Array) -> jax.Array:
@@ -121,6 +181,47 @@ def solve_from_costs(
         action=u_new[0],
         u_next=shift_action_seq(u_new),
         info=SolveInfo(costs=S, beta=sm.beta, eta=sm.eta, weights=sm.weights, u_seq=u_new),
+    )
+
+
+def solve_from_costs_tiled(
+    S: jax.Array,           # (R, 128) rollout costs, padded entries PAD_COST
+    eps: jax.Array,         # (T, a, R, 128) the noise that produced them
+    U: jax.Array,           # (T, a) nominal sequence
+    lambda_: jax.Array,
+    max_a: jax.Array,       # (a,)
+    *,
+    K: int,
+    antithetic: bool,
+    clamp: bool,
+    axis_name: str | None = None,
+) -> SolveResult:
+    """Tiled-layout softmin update + clamp + shift. Identical math to
+    :func:`solve_from_costs` — padded rollouts carry PAD_COST so their
+    weights underflow to exactly 0, and SolveInfo exposes only the K real
+    rollouts (in the same order as the flat view :func:`sample_noise`)."""
+    sm = softmin_weights(S.reshape(-1), lambda_, axis_name=axis_name)
+    dU = jnp.einsum("tark,rk->ta", eps, sm.weights.reshape(S.shape))
+    if axis_name is not None:
+        dU = jax.lax.psum(dU, axis_name)
+    u_new = U + dU
+    if clamp:
+        u_new = jnp.clip(u_new, -max_a, max_a)
+    Keff = K // 2 if antithetic else K
+    half = (S.shape[0] // 2) * LANE if antithetic else 0
+
+    def valid_view(v: jax.Array) -> jax.Array:  # (R*128,) -> (K,)
+        if antithetic:
+            return jnp.concatenate([v[:Keff], v[half:half + Keff]])
+        return v[:K]
+
+    return SolveResult(
+        action=u_new[0],
+        u_next=shift_action_seq(u_new),
+        info=SolveInfo(
+            costs=valid_view(S.reshape(-1)), beta=sm.beta, eta=sm.eta,
+            weights=valid_view(sm.weights), u_seq=u_new,
+        ),
     )
 
 
@@ -168,9 +269,28 @@ def mppi_solve(
     so the full kernel math is verifiable on CPU."""
     T, a = U.shape
     if rollout_backend == "scan":
-        eps = sample_noise(key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta)
-        S = rollout_costs(dyn, cost, x0, U, eps)
-        return solve_from_costs(S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name)
+        import os as _os
+
+        if _os.environ.get("MPPI_SCAN_LAYOUT", "tiled") == "flat":
+            # escape hatch: the pre-round-4 flat layout, for user dynamics
+            # that cannot run under per-sample vmap (none known — the
+            # Dynamics protocol requires it) or for A/B measurement
+            eps = sample_noise(
+                key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta
+            )
+            S = rollout_costs(dyn, cost, x0, U, eps)
+            return solve_from_costs(
+                S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name
+            )
+        eps, valid = sample_noise_tiled(
+            key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta
+        )
+        S = rollout_costs_tiled(dyn, cost, x0, U, eps)
+        S = jnp.where(valid, S, PAD_COST)
+        return solve_from_costs_tiled(
+            S, eps, U, lambda_, max_a, K=K, antithetic=antithetic,
+            clamp=clamp, axis_name=axis_name,
+        )
     if rollout_backend in ("pallas", "pallas-interpret"):
         return pallas_solve(
             dyn, cost, x0, U, key, sigma, lambda_, max_a,

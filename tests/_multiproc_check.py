@@ -92,7 +92,7 @@ def child(pid: int, nproc: int, port: int) -> None:
     import numpy as np
 
     from mppi_gpu_tpu.config import MPPIConfig
-    from mppi_gpu_tpu.controller import mppi_solve_deterministic
+    from mppi_gpu_tpu.controller import mppi_solve_deterministic, sample_noise
     from mppi_gpu_tpu.parallel import ShardedMPPIController
 
     cfg = MPPIConfig(
@@ -116,9 +116,9 @@ def child(pid: int, nproc: int, port: int) -> None:
     sigma = jnp.asarray(cfg.noise, jnp.float32)
     eps = jnp.concatenate(
         [
-            sigma * jax.random.normal(
-                jax.random.fold_in(key, d),
-                (cfg.horizon, k_loc, cfg.action_dim), jnp.float32,
+            sample_noise(
+                jax.random.fold_in(key, d), cfg.horizon, k_loc,
+                cfg.action_dim, sigma,
             )
             for d in range(n)
         ],

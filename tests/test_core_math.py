@@ -179,3 +179,88 @@ def test_solve_reduces_expected_cost():
         U = res.u_next
     # goal is q=1, qd=0
     assert abs(float(x[0]) - 1.0) < 0.2, f"final state {x}"
+
+
+# ---------------------------------------------------------------------------
+# Tiled SoA scan layout (round 4): the production scan path pads K up to
+# whole (8, 128) tiles and runs rollouts on the (sublane, lane) axes.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_tiled_scan_solve_matches_flat_oracle(anti):
+    """ctrl.solve on the scan backend (tiled layout) must equal the flat
+    deterministic solve fed sample_noise's flat view of the SAME stream —
+    including the padded-rollout masking and the antithetic mirror-half
+    ordering of SolveInfo."""
+    cfg = make_cfg(K=70, T=9, a=2).replace(antithetic=anti)
+    ctrl = MPPIController(cfg, rollout_backend="scan")
+    x = jnp.asarray([0.3, -0.1, 0.05, 0.2], jnp.float32)
+    U = ctrl.init_action_seq() + 0.02
+    key = jax.random.key(11)
+    res = ctrl.solve(x, U, key)
+
+    eps = sample_noise(
+        key, cfg.horizon, cfg.samples, cfg.action_dim, ctrl.sigma,
+        antithetic=anti,
+    )
+    assert eps.shape == (cfg.horizon, cfg.samples, cfg.action_dim)
+    ref = mppi_solve_deterministic(
+        ctrl.dynamics, ctrl.cost, x, U, eps, ctrl.lambda_, ctrl.max_a,
+        clamp=cfg.clamp_action,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.action), np.asarray(ref.action), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.u_next), np.asarray(ref.u_next), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.info.costs), np.asarray(ref.info.costs), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.info.weights), np.asarray(ref.info.weights),
+        rtol=1e-4, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        float(res.info.beta), float(ref.info.beta), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(res.info.weights.sum()), 1.0, rtol=1e-5
+    )
+
+
+def test_tiled_rollout_matches_flat_rollout_nonlinear():
+    """rollout_costs_tiled == rollout_costs on identical noise for a
+    nonlinear (trig) model — the per-sample double-vmap contract."""
+    from mppi_gpu_tpu.models.pendulum import PendulumDynamics
+    from mppi_gpu_tpu.ops.cost import PendulumSwingupCost
+    from mppi_gpu_tpu.ops.rollout import LANE, rollout_costs_tiled
+
+    dyn = PendulumDynamics.create(0.05)
+    cost = PendulumSwingupCost(
+        w_angle=jnp.float32(4.0), w_vel=jnp.float32(0.2),
+        lambda_=jnp.float32(1.0), inv_s=jnp.asarray([1.0]),
+    )
+    T, R = 12, 16  # R*LANE = 2048 rollouts
+    x0 = jnp.asarray([3.0, 0.1], jnp.float32)
+    U = 0.1 * jnp.ones((T, 1), jnp.float32)
+    eps = 0.8 * jax.random.normal(jax.random.key(3), (T, 1, R, LANE), jnp.float32)
+    S_tiled = rollout_costs_tiled(dyn, cost, x0, U, eps)
+    assert S_tiled.shape == (R, LANE)
+    eps_flat = jnp.swapaxes(eps.reshape(T, 1, R * LANE), 1, 2)
+    S_flat = rollout_costs(dyn, cost, x0, U, eps_flat)
+    np.testing.assert_allclose(
+        np.asarray(S_tiled.reshape(-1)), np.asarray(S_flat), rtol=2e-5
+    )
+
+
+def test_flat_layout_escape_hatch(monkeypatch):
+    """MPPI_SCAN_LAYOUT=flat restores the pre-round-4 flat scan path."""
+    monkeypatch.setenv("MPPI_SCAN_LAYOUT", "flat")
+    cfg = make_cfg(K=33, T=7, a=1)
+    ctrl = MPPIController(cfg, rollout_backend="scan")
+    x = jnp.zeros(2)
+    res = ctrl.solve(x, ctrl.init_action_seq(), jax.random.key(0))
+    assert np.all(np.isfinite(np.asarray(res.action)))
+    np.testing.assert_allclose(float(res.info.weights.sum()), 1.0, rtol=1e-5)

@@ -13,7 +13,11 @@ import numpy as np
 import pytest
 
 from mppi_gpu_tpu.config import MPPIConfig
-from mppi_gpu_tpu.controller import MPPIController, mppi_solve_deterministic
+from mppi_gpu_tpu.controller import (
+    MPPIController,
+    mppi_solve_deterministic,
+    sample_noise,
+)
 from mppi_gpu_tpu.parallel import ShardedMPPIController, make_mesh, sharded_mppi_solve
 
 
@@ -54,13 +58,15 @@ def test_sharded_matches_replayed_single_device(mesh8, rng):
     key = jax.random.key(7)
     res = ctrl.solve(x, U, key)
 
-    # reconstruct the per-device noise exactly as sharded_mppi_solve does
+    # reconstruct the per-device noise exactly as sharded_mppi_solve does:
+    # per-shard fold_in keys, each shard's stream read back through the
+    # public flat view of the tiled sampler
     n = 8
     k_loc = cfg.samples // n
     sigma = jnp.asarray(cfg.noise, jnp.float32)
     eps_parts = [
-        sigma * jax.random.normal(
-            jax.random.fold_in(key, d), (cfg.horizon, k_loc, cfg.action_dim), jnp.float32
+        sample_noise(
+            jax.random.fold_in(key, d), cfg.horizon, k_loc, cfg.action_dim, sigma
         )
         for d in range(n)
     ]
@@ -189,9 +195,9 @@ def test_sharded_nonlinear_family_matches_replay(mesh8):
     sigma = jnp.asarray(cfg.noise, jnp.float32)
     eps = jnp.concatenate(
         [
-            sigma * jax.random.normal(
-                jax.random.fold_in(key, d),
-                (cfg.horizon, k_loc, cfg.action_dim), jnp.float32,
+            sample_noise(
+                jax.random.fold_in(key, d), cfg.horizon, k_loc,
+                cfg.action_dim, sigma,
             )
             for d in range(n)
         ],
