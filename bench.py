@@ -564,6 +564,10 @@ V5E_MXU_F32_TFLOPS = 49.0   # ~bf16 roof (197) / 4 for f32 matmuls
 TRANSC_UNITS = 34
 NOISE_UNITS = 4.0 + 2 * TRANSC_UNITS   # poly-op equivalents per normal (= 72)
 UPDATE_UNITS = 2.0                     # mul+add per staged-ε element re-read
+# threefry+inverse-CDF normal (the scan path's jax.random.normal), measured
+# 31 ps/normal on v5e (noise-only chain at (T, 3, R, 128)) -> ~120 poly-op
+# equivalents per normal — ~1.7x the kernel's raw-bits Box-Muller
+SCAN_NOISE_UNITS = 120.0
 
 # (poly ops, transcendentals) per tile element per horizon step, hand-counted
 # from each family's build() closures in ops/pallas_rollout.py (dynamics RK2
@@ -602,14 +606,32 @@ def _roofline(family: str, K: int, T: int, antithetic: bool, backend: str,
     fam = _BENCH_FAMILY.get(family, family)
     A = FAMILY_A[fam]
     if backend == "scan":
-        # the scan path materializes eps (T, K, A) in HBM: one PRNG write +
-        # a rollout read + an update-einsum read = 3 passes (plus small
-        # state/cost traffic, ignored)
-        gb = 3.0 * 4 * T * K * A / 1e9
+        # tiled SoA scan (round 4): eps (T, A, R, 128) still makes 3 HBM
+        # passes (PRNG write + rollout read + update-einsum read), but with
+        # K on full tiles the binding roof is usually VPU issue — noise
+        # (threefry+erfinv) plus the vmapped dynamics/cost body, which XLA
+        # runs as separate fusions (no dual-issue overlap credit)
+        Keff = K // 2 if antithetic else K
+        Kp = -(-Keff // 1024) * 1024 * (2 if antithetic else 1)
+        normals = float(T) * A * (Kp // 2 if antithetic else Kp)
+        gb = 3.0 * 4 * T * Kp * A / 1e9
+        hbm_ms = gb / V5E_HBM_GBPS * 1e3
+        poly, transc = FAMILY_STEP_UNITS[fam]
+        vpu_ms = (
+            normals * SCAN_NOISE_UNITS
+            + float(T) * Kp * A * (poly + transc * TRANSC_UNITS)
+        ) / V5E_VPU_OPS * 1e3
+        if vpu_ms >= hbm_ms:
+            return {
+                "roof": "VPU",
+                "floor_ms": round(vpu_ms, 3),
+                "pct": round(100.0 * vpu_ms / p50_ms, 1),
+                "achieved": "noise+body streams",
+            }
         gbps = gb / (p50_ms * 1e-3)
         return {
             "roof": "HBM",
-            "floor_ms": round(gb / V5E_HBM_GBPS * 1e3, 3),
+            "floor_ms": round(hbm_ms, 3),
             "pct": round(100.0 * gbps / V5E_HBM_GBPS, 1),
             "achieved": f"{gbps:.0f} GB/s",
         }

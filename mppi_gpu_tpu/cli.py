@@ -178,8 +178,22 @@ def _run(args, cfg, ctrl) -> int:
     print(f"episode finished: {len(result.us)} control steps")
     print(f"final state: {final}")
     if result.solve_ms:
-        # the reference's closing metric (src/main.cu:376-379)
-        print(f"Average controller execution time: {result.solve_ms['mean_ms']:.3f} ms")
+        # the reference's closing metric (src/main.cu:376-379); warm mean —
+        # the first call (jit compile) is reported separately
+        print(
+            f"Average controller execution time: "
+            f"{result.solve_ms['mean_ms']:.3f} ms"
+            + (
+                f" (warm; first call incl. compile: "
+                f"{result.solve_ms['first_ms'] / 1e3:.1f} s)"
+                if "first_ms" in result.solve_ms else ""
+            )
+        )
+        print(
+            "note: interactive per-step wall-clock includes host<->device "
+            "dispatch latency (tunnelled TPU: RTT-dominated); device-side "
+            "solve cost is bench.py's chained-scan number"
+        )
         print(json.dumps(result.solve_ms))
     if args.traj:
         print(f"trajectory written to {args.traj}")

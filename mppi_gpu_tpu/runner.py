@@ -321,7 +321,7 @@ def run_closed_loop(
         times=np.asarray(times),
         xs=np.asarray(xs),
         us=np.asarray(us) if us else np.zeros((0, ctrl.cfg.action_dim)),
-        solve_ms=timer.summary(),
+        solve_ms=timer.summary(split_first=True),
     )
     if traj_csv is not None:
         write_traj_csv(traj_csv, result.times, result.xs[1:], result.us)

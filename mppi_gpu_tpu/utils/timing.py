@@ -33,14 +33,27 @@ class SolveTimer:
     def percentile_ms(self, q: float) -> float:
         return float(np.percentile(self.samples_ms, q)) if self.samples_ms else float("nan")
 
-    def summary(self) -> dict[str, float]:
-        return {
-            "n": len(self.samples_ms),
-            "mean_ms": self.mean_ms,
-            "p50_ms": self.percentile_ms(50),
-            "p95_ms": self.percentile_ms(95),
-            "min_ms": self.percentile_ms(0),
-        }
+    def summary(self, *, split_first: bool = False) -> dict[str, float]:
+        """Timing summary. With `split_first` (the interactive loop), the
+        first sample — which includes jit compilation — is reported
+        separately as `first_ms` and excluded from the statistics, so the
+        mean describes the steady-state solve and cannot be read as a
+        compile-inflated number (the reference's metric has no compile
+        step to hide, src/main.cu:329-332)."""
+        samples = self.samples_ms
+        out: dict[str, float] = {}
+        if split_first and len(samples) >= 2:
+            out["first_ms"] = samples[0]
+            samples = samples[1:]
+        sub = SolveTimer(samples)
+        out.update(
+            n=len(samples),
+            mean_ms=sub.mean_ms,
+            p50_ms=sub.percentile_ms(50),
+            p95_ms=sub.percentile_ms(95),
+            min_ms=sub.percentile_ms(0),
+        )
+        return out
 
 
 def time_fn(

@@ -421,13 +421,26 @@ assert hit_any, "obstacle penalty never fired on the probed rollouts"
 # --- whole-episode jit x pallas backend: the two headline modes compose —
 # a short closed-loop episode (solve + world physics per cycle, one XLA
 # program) with the FUSED kernel inside the episode scan
-from mppi_gpu_tpu.runner import run_episode_jit
+from mppi_gpu_tpu.runner import run_closed_loop, run_episode_jit
 
 ep = run_episode_jit(ctrl, num_steps=25)  # point_mass3d, pallas fused
 assert ep.xs.shape[0] == 26 and _np.all(_np.isfinite(ep.xs))
 d0 = _np.linalg.norm(ep.xs[0][:3] - _np.array([1.0, 0.5, 0.75]))
 d1 = _np.linalg.norm(ep.xs[-1][:3] - _np.array([1.0, 0.5, 0.75]))
 assert d1 < d0, f"episode-jit(pallas) made no goal progress: {d0} -> {d1}"
+
+# ...and it must MATCH the interactive host loop on the chip (the headline
+# whole-episode bench number stands on this equivalence, BASELINE.md):
+# same controller, same key folding, same jax world — the only difference
+# is one fused XLA program vs per-step dispatch, so the on-chip PRNG
+# streams are identical and the trajectories must agree to f32
+# recompilation tolerance (the solve and the episode scan are separate
+# XLA compilations; reassociation only).
+ep_host = run_closed_loop(ctrl, max_steps=25)
+assert len(ep_host.us) == 25, f"host loop ran {len(ep_host.us)} steps"
+_np.testing.assert_allclose(ep_host.us, ep.us, rtol=1e-4, atol=1e-5)
+_np.testing.assert_allclose(ep_host.xs[-1], ep.xs[-1], rtol=1e-4, atol=1e-5)
+print("episode-jit x pallas matches the interactive loop on hardware")
 
 # --- fleet fused kernel on hardware: grid axis = robot axis. Per-robot
 # results must match independent single-robot fused solves with the same
