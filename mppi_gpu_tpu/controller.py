@@ -65,6 +65,30 @@ class SolveResult(NamedTuple):
     info: SolveInfo
 
 
+def _standard_normal_tiled(key: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+    """Standard normals for the tiled sampler. Default is Box-Muller over
+    threefry uniforms — each uniform pair yields two normals (cos & sin
+    branches), the same trade the Pallas kernels make (docs/kernels.md
+    "Noise generation") — cheaper per normal on the VPU than
+    jax.random.normal's erfinv inverse-CDF (measured: see BASELINE.md's
+    scan rows / docs/kernels.md roofline notes). MPPI_SCAN_SAMPLER=erfinv
+    selects jax.random.normal instead. Both are exact samplers (Box-Muller's radius
+    is capped at √(2·24·ln2) ≈ 5.8σ by the 24-bit uniform — beyond f32
+    rollout relevance); the choice only changes WHICH normals a key maps
+    to, and sample_noise's flat view follows automatically."""
+    import os as _os
+
+    if _os.environ.get("MPPI_SCAN_SAMPLER", "boxmuller") == "erfinv":
+        return jax.random.normal(key, shape, jnp.float32)
+    half = shape[:-1] + (shape[-1] // 2,)
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, half, jnp.float32)
+    u2 = jax.random.uniform(k2, half, jnp.float32)
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))
+    th = (2.0 * jnp.pi) * u2
+    return jnp.concatenate([r * jnp.cos(th), r * jnp.sin(th)], axis=-1)
+
+
 def sample_noise_tiled(
     key: jax.Array,
     T: int,
@@ -96,7 +120,7 @@ def sample_noise_tiled(
     sequences, which rewards smoother controls out of the softmin."""
     Keff = K // 2 if antithetic else K
     Rr = round_up_k(Keff) // LANE
-    nu = jax.random.normal(key, (T, action_dim, Rr, LANE), jnp.float32)
+    nu = _standard_normal_tiled(key, (T, action_dim, Rr, LANE))
     if ou_beta > 0.0:
         c = (1.0 - ou_beta**2) ** 0.5  # keeps the stationary variance at σ²
 

@@ -21,8 +21,15 @@ def test_sample_noise_mirrored_pairs():
     )
     assert eps.shape == (7, 10, 2)
     np.testing.assert_array_equal(np.asarray(eps[:, 5:]), -np.asarray(eps[:, :5]))
-    # marginal std still matches sigma
-    assert abs(float(eps[..., 0].std()) - 0.3) < 0.06
+    # marginal std still matches sigma — checked at a sample size where the
+    # estimator noise (σ/√2n) is far inside the tolerance
+    big = sample_noise(
+        jax.random.key(0), T=50, K=2000, action_dim=2,
+        sigma=jnp.asarray([0.3, 0.5]), antithetic=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(big).std(axis=(0, 1)), [0.3, 0.5], rtol=0.03
+    )
 
 
 def test_antithetic_solve_runs_and_mean_eps_cancels():
