@@ -66,19 +66,22 @@ class SolveResult(NamedTuple):
 
 
 def _standard_normal_tiled(key: jax.Array, shape: tuple[int, ...]) -> jax.Array:
-    """Standard normals for the tiled sampler. Default is Box-Muller over
-    threefry uniforms — each uniform pair yields two normals (cos & sin
-    branches), the same trade the Pallas kernels make (docs/kernels.md
-    "Noise generation") — cheaper per normal on the VPU than
-    jax.random.normal's erfinv inverse-CDF (measured: see BASELINE.md's
-    scan rows / docs/kernels.md roofline notes). MPPI_SCAN_SAMPLER=erfinv
-    selects jax.random.normal instead. Both are exact samplers (Box-Muller's radius
-    is capped at √(2·24·ln2) ≈ 5.8σ by the 24-bit uniform — beyond f32
-    rollout relevance); the choice only changes WHICH normals a key maps
-    to, and sample_noise's flat view follows automatically."""
+    """Standard normals for the tiled sampler — jax.random.normal (threefry
+    + erfinv inverse-CDF) by default.
+
+    MPPI_SCAN_SAMPLER=boxmuller selects Box-Muller over threefry uniforms
+    instead (each uniform pair → two normals via the cos & sin branches).
+    Kept as a measured NEGATIVE result: the Pallas kernels win with
+    Box-Muller on raw PRNG bits, but in XLA it is ~20 % SLOWER than erfinv
+    (2.46 vs 2.06 ms for 6×10⁷ normals at bench geometry, v5e) — XLA's
+    erfinv is one short rational polynomial while sin/cos/log each lower to
+    full range-reduced polynomial chains. Both are exact samplers
+    (Box-Muller's radius caps at √(2·24·ln2) ≈ 5.8σ from the 24-bit
+    uniform); the choice only changes WHICH normals a key maps to, and
+    sample_noise's flat view follows automatically."""
     import os as _os
 
-    if _os.environ.get("MPPI_SCAN_SAMPLER", "boxmuller") == "erfinv":
+    if _os.environ.get("MPPI_SCAN_SAMPLER", "erfinv") != "boxmuller":
         return jax.random.normal(key, shape, jnp.float32)
     half = shape[:-1] + (shape[-1] // 2,)
     k1, k2 = jax.random.split(key)

@@ -267,12 +267,14 @@ def test_flat_layout_escape_hatch(monkeypatch):
 
 
 def test_tiled_sampler_moments_and_switch(monkeypatch):
-    """The default Box-Muller tiled sampler is a sound standard normal
-    (moments, symmetry, tail mass), and MPPI_SCAN_SAMPLER=erfinv swaps in
-    jax.random.normal (different draws, same distribution)."""
+    """Both tiled samplers are sound standard normals (moments, symmetry,
+    tail mass); MPPI_SCAN_SAMPLER=boxmuller swaps in the (measured-slower,
+    see _standard_normal_tiled) Box-Muller stream — different draws, same
+    distribution."""
     from mppi_gpu_tpu.controller import _standard_normal_tiled
 
     shape = (50, 2, 16, 128)  # 204k draws
+    monkeypatch.setenv("MPPI_SCAN_SAMPLER", "boxmuller")
     x = np.asarray(_standard_normal_tiled(jax.random.key(0), shape)).ravel()
     assert abs(x.mean()) < 0.01
     assert abs(x.std() - 1.0) < 0.01
@@ -280,7 +282,7 @@ def test_tiled_sampler_moments_and_switch(monkeypatch):
     assert abs(np.mean(np.abs(x) > 1.96) - 0.05) < 0.005  # tail mass
     assert np.abs(x).max() < 6.0
 
-    monkeypatch.setenv("MPPI_SCAN_SAMPLER", "erfinv")
+    monkeypatch.delenv("MPPI_SCAN_SAMPLER")     # default: erfinv
     y = np.asarray(_standard_normal_tiled(jax.random.key(0), shape)).ravel()
     assert abs(y.std() - 1.0) < 0.01
     assert not np.allclose(x[:100], y[:100])  # genuinely different streams
