@@ -44,7 +44,10 @@ from mppi_gpu_tpu.ops.softmin import softmin_weights
 # diverges to inf cost, β-S = inf-inf = NaN must propagate to the action so
 # utils.guard.ControllerDiverged fires — a finite pad cost would win the
 # softmin and silently launder divergence into a finite garbage action.
-PAD_COST = jnp.float32(jnp.inf)
+# (A plain Python float, NOT a jnp scalar: a module-level jnp constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in the multi-process bootstrap.)
+PAD_COST = float("inf")
 
 
 class SolveInfo(NamedTuple):
