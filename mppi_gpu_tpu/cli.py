@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
         "display; the reference's GLFW window analog)",
     )
     p.add_argument("--profile", default=None, help="jax.profiler trace dir")
+    p.add_argument(
+        "--compile-cache", default=None, metavar="DIR", nargs="?",
+        const=os.path.expanduser("~/.cache/tpu_mppi_xla"),
+        help="persistent XLA compilation cache: warm restarts skip the "
+        "20-40 s first-solve compile (jax_compilation_cache_dir). With no "
+        "DIR, uses ~/.cache/tpu_mppi_xla. JAX_COMPILATION_CACHE_DIR also "
+        "works without this flag",
+    )
     return p
 
 
@@ -87,6 +95,16 @@ def main(argv: list[str] | None = None) -> int:
 
 
 def _main(args) -> int:
+
+    if args.compile_cache is not None:
+        # before any jit: warm restarts then reuse serialized executables
+        # (the reference recompiles nothing — its kernels are AOT — so this
+        # restores cold-start parity for the jit world)
+        import jax
+
+        os.makedirs(args.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from mppi_gpu_tpu.config import load_config
     from mppi_gpu_tpu.controller import MPPIController

@@ -108,3 +108,21 @@ def test_mismatch_native_vs_jax_world():
     r1 = run_mismatch(2, n_steps=30, world_backend="jax")
     r2 = run_mismatch(2, n_steps=30, world_backend="native")
     np.testing.assert_allclose(r1.traj_world, r2.traj_world, rtol=2e-4, atol=2e-5)
+
+
+def test_cli_compile_cache_flag(tmp_path, capsys):
+    """--compile-cache wires the persistent XLA compilation cache (warm
+    restarts skip the first-solve compile) and creates the directory."""
+    from mppi_gpu_tpu.cli import main as cli_main
+
+    cache = tmp_path / "xla-cache"
+    rc = cli_main([
+        "-c", "configs/mppi-config-test.yaml", "--max-steps", "2",
+        "--compile-cache", str(cache),
+    ])
+    assert rc == 0
+    assert cache.is_dir()
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir == str(cache)
+    assert "episode finished" in capsys.readouterr().out
