@@ -110,7 +110,7 @@ class BatchedMPPIController(MPPIController):
             solve = partial(
                 mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,
                 rollout_backend="scan", antithetic=cfg.antithetic,
-                ou_beta=cfg.noise_beta,
+                ou_beta=cfg.noise_beta, opt_iters=cfg.opt_iters,
             )
             self._solve_batch_fn = jax.vmap(
                 solve, in_axes=(None, cost_axes, 0, 0, 0, None, None, None)
@@ -132,30 +132,45 @@ class BatchedMPPIController(MPPIController):
         interpret = self.rollout_backend == "pallas-interpret"
 
         def solve_fleet(dyn, cost, xs, Us, keys, sigma, lambda_, max_a):
-            S, dU = pr.pallas_fleet_solve_core(
-                dyn, cost, xs, Us, keys, sigma, lambda_,
-                K=K, antithetic=cfg.antithetic, ou_beta=cfg.noise_beta,
-                testmode=testmode, interpret=interpret, cost_axes=cost_axes,
-            )
+            def core_unew(Us, keys_it):
+                S, dU = pr.pallas_fleet_solve_core(
+                    dyn, cost, xs, Us, keys_it, sigma, lambda_,
+                    K=K, antithetic=cfg.antithetic, ou_beta=cfg.noise_beta,
+                    testmode=testmode, interpret=interpret, cost_axes=cost_axes,
+                )
+                u_new = Us + dU
+                if cfg.clamp_action:
+                    u_new = jnp.clip(u_new, -max_a, max_a)
+                return S, u_new
 
-            def tail(S_r, dU_r, U_r):
+            if cfg.opt_iters > 1:
+                # iterated MPPI for the fleet kernel: same per-iteration key
+                # folding as mppi_solve's opt_iters path, vmapped over robots
+                fold_r = jax.vmap(jax.random.fold_in, (0, None))
+
+                def body(Us, j):
+                    _, u_new = core_unew(Us, fold_r(keys, j))
+                    return u_new, None
+
+                Us, _ = jax.lax.scan(body, Us, jnp.arange(cfg.opt_iters - 1))
+                keys = fold_r(keys, cfg.opt_iters - 1)
+            S, u_new = core_unew(Us, keys)
+
+            def tail(S_r, u_new_r):
                 # β/η/weights re-derived from S for SolveInfo parity with the
                 # scan fleet; DCE removes them when the caller only consumes
                 # action/u_next (same trick as the single-robot fused path)
                 sm = softmin_weights(S_r, lambda_)
-                u_new = U_r + dU_r
-                if cfg.clamp_action:
-                    u_new = jnp.clip(u_new, -max_a, max_a)
                 return SolveResult(
-                    action=u_new[0],
-                    u_next=shift_action_seq(u_new),
+                    action=u_new_r[0],
+                    u_next=shift_action_seq(u_new_r),
                     info=SolveInfo(
                         costs=S_r[:K], beta=sm.beta, eta=sm.eta,
-                        weights=sm.weights[:K], u_seq=u_new,
+                        weights=sm.weights[:K], u_seq=u_new_r,
                     ),
                 )
 
-            return jax.vmap(tail)(S, dU, Us)
+            return jax.vmap(tail)(S, u_new)
 
         return solve_fleet
 

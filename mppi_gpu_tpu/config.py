@@ -83,6 +83,11 @@ class MPPIConfig:
     obstacle_w: float = 1000.0        # penalty for being inside an obstacle
     noise_beta: float = 0.0           # OU noise correlation (0 = iid like the
                                       # reference; 0<β<1 = smoother controls)
+    opt_iters: int = 1                # iterated MPPI: softmin-update the
+                                      # nominal sequence this many times per
+                                      # control cycle (fresh noise each
+                                      # iteration) before executing U[0];
+                                      # 1 = the reference's single update
 
     def __post_init__(self) -> None:
         if self.samples < 1:
@@ -101,6 +106,8 @@ class MPPIConfig:
             raise ConfigError(
                 f"antithetic sampling needs an even number of samples, got {self.samples}"
             )
+        if self.opt_iters < 1:
+            raise ConfigError(f"opt-iters must be >= 1, got {self.opt_iters}")
         # Dimension warnings in the reference (src/main.cu:530-612) are hard
         # errors here: silent dim mismatch is never what the user wants.
         checks = [
@@ -172,6 +179,7 @@ def config_from_mapping(doc: Mapping[str, Any]) -> MPPIConfig:
         seed=int(doc.get("seed", 0)),
         antithetic=bool(doc.get("antithetic", False)),
         noise_beta=float(doc.get("noise-beta", 0.0)),
+        opt_iters=int(doc.get("opt-iters", 1)),
     )
 
 

@@ -291,12 +291,37 @@ def mppi_solve(
     antithetic: bool = False,
     ou_beta: float = 0.0,
     testmode: bool = False,
+    opt_iters: int = 1,
 ) -> SolveResult:
     """One full MPPI solve: sample ε, roll out K trajectories over T, softmin
     update, clamp, shift. Pure and jittable; `K` is per-shard when running
     under `shard_map` with `axis_name` set. `testmode` (pallas backends only)
     swaps the on-chip PRNG for the deterministic host-replicable pseudo-noise
-    so the full kernel math is verifiable on CPU."""
+    so the full kernel math is verifiable on CPU.
+
+    `opt_iters > 1` is ITERATED MPPI: the softmin update is applied to the
+    nominal sequence `opt_iters` times (fresh noise per iteration — keys
+    fold by iteration index) before `U[0]` is executed and the shift
+    happens once. Each extra iteration re-centers the sampling distribution
+    on the updated sequence, sharpening the importance-sampling estimate —
+    standard MPPI practice the reference lacks (its loop hardcodes one
+    update per cycle, src/main.cu:326-374). Diagnostics (`SolveInfo`) are
+    the FINAL iteration's."""
+    if opt_iters > 1:
+        solve_once = partial(
+            mppi_solve, dyn, cost, x0, K=K, clamp=clamp, axis_name=axis_name,
+            rollout_backend=rollout_backend, antithetic=antithetic,
+            ou_beta=ou_beta, testmode=testmode, opt_iters=1,
+        )
+
+        def body(U, j):
+            r = solve_once(U, jax.random.fold_in(key, j), sigma, lambda_, max_a)
+            return r.info.u_seq, None  # updated sequence BEFORE the shift
+
+        U, _ = jax.lax.scan(body, U, jnp.arange(opt_iters - 1))
+        return solve_once(
+            U, jax.random.fold_in(key, opt_iters - 1), sigma, lambda_, max_a
+        )
     T, a = U.shape
     if rollout_backend == "scan":
         import os as _os
@@ -513,6 +538,7 @@ class MPPIController:
             antithetic=cfg.antithetic,
             ou_beta=cfg.noise_beta,
             testmode=testmode,
+            opt_iters=cfg.opt_iters,
         )
         donate = (3,) if donate_u else ()  # donate U's buffer (dyn, cost, x0, U, key,...)
         self._solve = jax.jit(solve, donate_argnums=donate)
@@ -566,7 +592,10 @@ class MPPIController:
         through the SAME kernels as the hot path and the noise-dump kernel
         (ops.pallas_rollout.pallas_noise_dump) replays the identical on-chip
         PRNG stream those kernels consumed — the analog of the reference's
-        bit-faithful ε buffer round-trip (src/point_mass_gpu.cu:123-129)."""
+        bit-faithful ε buffer round-trip (src/point_mass_gpu.cu:123-129).
+        Under iterated MPPI (cfg.opt_iters > 1) the dump documents the FINAL
+        iteration — the solve whose action drives the robot — after
+        replaying the first M-1 updates exactly as the hot path does."""
         if not hasattr(self, "_solve_debug"):
             from mppi_gpu_tpu.ops.rollout import rollout_trajectories
 
@@ -576,6 +605,24 @@ class MPPIController:
 
             def dbg(dyn, cost, x, U, key, sigma, lambda_, max_a):
                 T, a = U.shape
+                M = self.cfg.opt_iters
+                if M > 1:
+                    # iterated MPPI: advance through the first M-1 updates
+                    # exactly as the hot path does, then document the FINAL
+                    # iteration — the one whose action drives the robot
+                    def pre(Uc, j):
+                        r = mppi_solve(
+                            dyn, cost, x, Uc, jax.random.fold_in(key, j),
+                            sigma, lambda_, max_a,
+                            K=self.cfg.samples, clamp=self.cfg.clamp_action,
+                            rollout_backend=backend,
+                            antithetic=self.cfg.antithetic,
+                            ou_beta=self.cfg.noise_beta, testmode=testmode,
+                        )
+                        return r.info.u_seq, None
+
+                    U, _ = jax.lax.scan(pre, U, jnp.arange(M - 1))
+                    key = jax.random.fold_in(key, M - 1)
                 if pallas:
                     from mppi_gpu_tpu.ops import pallas_rollout as pr
 

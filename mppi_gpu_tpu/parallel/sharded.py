@@ -54,6 +54,7 @@ def sharded_mppi_solve(
     antithetic: bool = False,
     ou_beta: float = 0.0,
     testmode: bool = False,
+    opt_iters: int = 1,
 ) -> SolveResult:
     """One MPPI solve with K rollouts sharded over `mesh`'s `axis_name` axis.
 
@@ -81,7 +82,7 @@ def sharded_mppi_solve(
             dyn, cost, x0, U, local_key, sigma, lambda_, max_a,
             K=k_loc, clamp=clamp, axis_name=axis_name,
             rollout_backend=rollout_backend, antithetic=antithetic,
-            ou_beta=ou_beta, testmode=testmode,
+            ou_beta=ou_beta, testmode=testmode, opt_iters=opt_iters,
         )
 
     out_specs = SolveResult(
@@ -142,5 +143,6 @@ class ShardedMPPIController(MPPIController):
             antithetic=cfg.antithetic,
             ou_beta=cfg.noise_beta,
             testmode=testmode,
+            opt_iters=cfg.opt_iters,
         )
         self._solve = jax.jit(solve)
