@@ -88,6 +88,14 @@ def make_cfg(K: int, T: int, family: str = "lti", antithetic: bool = False):
             max_a=(1.5, 2.5), goal=(2.0, 1.0, 0.0), cost_type="unicycle",
             cost_w=(4.0, 1.0), antithetic=antithetic,
         )
+    elif family == "arm":
+        cfg = MPPIConfig(
+            env="arm", samples=K, state_dim=4, action_dim=2, horizon=T,
+            dt=1 / 60, lambda_=0.1, noise=(2.0, 1.0), noise_beta=0.8,
+            init_act=(0.0, 0.0), max_a=(14.0, 7.0),
+            goal=(0.55, 0.35, 0.0, 0.0), cost_type="arm", cost_w=(20.0, 0.05),
+            antithetic=antithetic,
+        )
     elif family == "obstacle":
         cfg = MPPIConfig(
             env="point_mass3d", samples=K, state_dim=6, action_dim=3, horizon=T,
@@ -141,6 +149,8 @@ def bench_x0(family: str) -> "jnp.ndarray":
         return jnp.asarray([0.1, 0.2, 0.0, 0.0], jnp.float32)  # pole leaning
     if family == "unicycle":
         return jnp.asarray([0.0, 0.0, 0.4], jnp.float32)
+    if family == "arm":
+        return jnp.asarray([-1.5707963, 0.0, 0.0, 0.0], jnp.float32)  # hanging
     if family == "quadrotor":
         return jnp.asarray([-1.0, 0.0, 0.05, 0.2, 0.0, 0.1], jnp.float32)
     if family == "quadrotor3d":
@@ -580,9 +590,10 @@ FAMILY_STEP_UNITS = {
     "quadrotor": (49, 5),
     "quadrotor3d": (175, 1),
     "unicycle": (22, 3),
+    "arm": (45, 12),
 }
 FAMILY_A = {"lti": 3, "lti-obstacle": 3, "pendulum": 1, "cartpole": 1,
-            "quadrotor": 2, "quadrotor3d": 4, "unicycle": 2}
+            "quadrotor": 2, "quadrotor3d": 4, "unicycle": 2, "arm": 2}
 _BENCH_FAMILY = {"obstacle": "lti-obstacle"}  # bench flag name -> family name
 
 
@@ -692,6 +703,8 @@ ALL_CASES = [
     (100_000, "pallas", True, 20, "quadrotor3d"),
     (100_000, "scan", False, 20, "unicycle"),
     (100_000, "pallas", False, 20, "unicycle"),
+    (100_000, "scan", False, 20, "arm"),
+    (100_000, "pallas", False, 20, "arm"),
 ]
 
 
@@ -803,9 +816,10 @@ def _readme_table(results: list[dict], T: int) -> str:
         "cartpole": "cart-pole", "pendulum": "pendulum", "obstacle": "obstacle",
         "quadrotor": "quadrotor", "quadrotor3d": "quadrotor3d (13-state SE(3))",
         "unicycle": "unicycle (differential drive)",
+        "arm": "two-link arm (manipulator)",
     }
     for fam in ("cartpole", "pendulum", "obstacle", "quadrotor", "quadrotor3d",
-                "unicycle"):
+                "unicycle", "arm"):
         sc, pa = p50(100_000, "scan", fam), p50(100_000, "pallas", fam)
         if pa is None:
             continue
@@ -860,7 +874,8 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlp", action="store_true",
                    help="MLP(128x128) residual dynamics instead of analytic LTI")
     p.add_argument("--family", default="lti",
-                   choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor", "quadrotor3d", "unicycle"),
+                   choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor",
+                            "quadrotor3d", "unicycle", "arm"),
                    help="fused model family for the workload")
     p.add_argument("--sharded", action="store_true",
                    help="mesh-size sweep with weak/strong scaling efficiency")

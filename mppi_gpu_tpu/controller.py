@@ -479,10 +479,10 @@ def resolve_backend(
     requested: str, dyn: Dynamics, cost: Cost, *, platform: str | None = None
 ) -> str:
     """'auto' → the fused Pallas kernels on TPU when some fused family covers
-    the (model, cost) pair — any of the seven registered families in
+    the (model, cost) pair — any of the eight registered families in
     ops.pallas_rollout.FAMILIES: lti (point-mass + quadratic), lti-obstacle,
-    pendulum, cartpole, quadrotor (planar), quadrotor3d, unicycle — else the
-    generic XLA scan path (which handles arbitrary dynamics/costs, incl.
+    pendulum, cartpole, quadrotor (planar), quadrotor3d, unicycle, arm
+    (two-link manipulator) — else the generic XLA scan path (which handles arbitrary dynamics/costs, incl.
     MLP/hybrid models)."""
     if requested != "auto":
         return requested

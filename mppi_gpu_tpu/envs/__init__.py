@@ -18,6 +18,7 @@ from mppi_gpu_tpu.envs.pendulum_world import PendulumParams, PendulumWorld
 from mppi_gpu_tpu.envs.quadrotor_world import QuadrotorParams, QuadrotorWorld
 from mppi_gpu_tpu.envs.quadrotor3d_world import Quadrotor3DParams, Quadrotor3DWorld
 from mppi_gpu_tpu.envs.unicycle_world import UnicycleParams, UnicycleWorld
+from mppi_gpu_tpu.envs.arm_world import ArmParams, ArmWorld
 from mppi_gpu_tpu.envs.native import NativePointMassWorld, native_available
 
 
@@ -27,6 +28,10 @@ def is_pendulum_env(env: str) -> bool:
 
 def is_unicycle_env(env: str) -> bool:
     return "unicycle" in str(env)
+
+
+def is_arm_env(env: str) -> bool:
+    return "arm" in str(env)
 
 
 def is_cartpole_env(env: str) -> bool:
@@ -46,6 +51,8 @@ def is_quadrotor_env(env: str) -> bool:
 def params_for_config(cfg):
     """Env-family dispatch: the config's `env` name (or XML path) selects the
     world family and its physical parameters."""
+    if is_arm_env(cfg.env):
+        return ArmParams(max_t1=cfg.max_a[0], max_t2=cfg.max_a[1])
     if is_unicycle_env(cfg.env):
         return UnicycleParams(max_v=cfg.max_a[0], max_w=cfg.max_a[1])
     if is_cartpole_env(cfg.env):
@@ -65,6 +72,8 @@ def params_for_config(cfg):
 
 def make_jax_world(cfg, params=None):
     params = params if params is not None else params_for_config(cfg)
+    if isinstance(params, ArmParams):
+        return ArmWorld(params)
     if isinstance(params, UnicycleParams):
         return UnicycleWorld(params)
     if isinstance(params, CartPoleParams):
@@ -85,6 +94,9 @@ __all__ = [
     "make_jax_world",
     "is_pendulum_env",
     "is_unicycle_env",
+    "is_arm_env",
+    "ArmParams",
+    "ArmWorld",
     "is_cartpole_env",
     "is_quadrotor_env",
     "is_quadrotor3d_env",

@@ -153,6 +153,7 @@ def run_mismatch_config(
 
     if world_backend in ("native", "mujoco"):
         from mppi_gpu_tpu.envs import (
+            is_arm_env,
             is_cartpole_env,
             is_quadrotor_env,
             is_unicycle_env,
@@ -162,6 +163,11 @@ def run_mismatch_config(
             raise ValueError(
                 "the unicycle family is kinematic and has no native/MuJoCo "
                 "twin; use --world jax"
+            )
+        if is_arm_env(cfg.env):
+            raise ValueError(
+                "no native/MuJoCo twin is wired for the arm family; "
+                "use --world jax"
             )
         if world_backend == "native":
             from mppi_gpu_tpu.envs.native import (

@@ -12,6 +12,7 @@ from mppi_gpu_tpu.models.pendulum import PendulumDynamics
 from mppi_gpu_tpu.models.quadrotor import QuadrotorDynamics
 from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
 from mppi_gpu_tpu.models.unicycle import UnicycleDynamics
+from mppi_gpu_tpu.models.arm import TwoLinkArmDynamics
 from mppi_gpu_tpu.models.neural import (
     HybridResidualDynamics,
     MLPDynamics,
@@ -22,6 +23,8 @@ from mppi_gpu_tpu.models.neural import (
 def dynamics_for_config(cfg) -> Dynamics:
     """Default rollout model for a config's env family (override by passing
     `dynamics=` to the controller)."""
+    if "arm" in str(cfg.env):
+        return TwoLinkArmDynamics.create(cfg.dt)
     if "unicycle" in str(cfg.env):
         return UnicycleDynamics.create(cfg.dt)
     if "cartpole" in str(cfg.env):
@@ -37,7 +40,8 @@ def dynamics_for_config(cfg) -> Dynamics:
 
 __all__ = [
     "Dynamics", "PointMassLTI", "PendulumDynamics", "CartPoleDynamics",
-    "QuadrotorDynamics", "Quadrotor3DDynamics", "UnicycleDynamics", "MLPDynamics",
+    "QuadrotorDynamics", "Quadrotor3DDynamics", "UnicycleDynamics",
+    "TwoLinkArmDynamics", "MLPDynamics",
     "HybridResidualDynamics",
     "init_mlp_dynamics", "dynamics_for_config",
 ]

@@ -152,6 +152,47 @@ class UnicycleWaypointCost:
 
 @register_dataclass
 @dataclass(frozen=True)
+class ArmReachCost:
+    """Reaching cost for the two-link arm family: ``w = [w_pos, w_vel]`` —
+    quadratic end-effector distance to the target point plus a joint-rate
+    damping term. The end-effector position comes from the forward
+    kinematics ``p = l1·(cos q1, sin q1) + l2·(cos(q1+q2), sin(q1+q2))``
+    (same link lengths as the dynamics). ``goal[0:2]`` is the target
+    (tx, ty); ``goal[2:4]`` exist only for the state_dim=4 config schema
+    and are unused."""
+
+    w: jax.Array        # (2,) = [w_pos, w_vel]
+    goal: jax.Array     # (4,)
+    lambda_: jax.Array
+    inv_s: jax.Array    # (a,)
+    l1: jax.Array = None  # set in __post_init__ when omitted
+    l2: jax.Array = None
+
+    def __post_init__(self) -> None:
+        # default link lengths match TwoLinkArmDynamics.create's defaults
+        if self.l1 is None:
+            object.__setattr__(self, "l1", jnp.float32(0.5))
+        if self.l2 is None:
+            object.__setattr__(self, "l2", jnp.float32(0.5))
+
+    def _state(self, x: jax.Array) -> jax.Array:
+        q1, q12 = x[..., 0], x[..., 0] + x[..., 1]
+        ex = self.l1 * jnp.cos(q1) + self.l2 * jnp.cos(q12)
+        ey = self.l1 * jnp.sin(q1) + self.l2 * jnp.sin(q12)
+        dx, dy = ex - self.goal[0], ey - self.goal[1]
+        vel = x[..., 2] ** 2 + x[..., 3] ** 2
+        return self.w[0] * (dx * dx + dy * dy) + self.w[1] * vel
+
+    def step(self, x_next: jax.Array, u: jax.Array, eps: jax.Array) -> jax.Array:
+        ctrl = self.lambda_ * jnp.sum(u * self.inv_s * eps, axis=-1)
+        return ctrl + self._state(x_next)
+
+    def final(self, x: jax.Array) -> jax.Array:
+        return self._state(x)
+
+
+@register_dataclass
+@dataclass(frozen=True)
 class CartPoleBalanceCost:
     """Balance cost for the cart-pole family: keep the pole upright, the cart
     centered, and both velocities low. ``w = [w_pos, w_angle, w_posvel,
@@ -317,6 +358,24 @@ def _make_unicycle(cfg: MPPIConfig) -> UnicycleWaypointCost:
     else:
         inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
     return UnicycleWaypointCost(
+        w=jnp.asarray(cfg.cost_w, jnp.float32),
+        goal=jnp.asarray(cfg.goal, jnp.float32),
+        lambda_=jnp.float32(cfg.lambda_),
+        inv_s=inv_s,
+    )
+
+
+@register_cost("arm")
+def _make_arm(cfg: MPPIConfig) -> "ArmReachCost":
+    if len(cfg.cost_w) != 2:
+        raise ValueError(
+            f"arm cost needs cost.w = [w_pos, w_vel], got {cfg.cost_w}"
+        )
+    if cfg.inv_sigma == "from-noise":
+        inv_s = 1.0 / (jnp.asarray(cfg.noise, jnp.float32) ** 2)
+    else:
+        inv_s = jnp.ones((cfg.action_dim,), jnp.float32)
+    return ArmReachCost(
         w=jnp.asarray(cfg.cost_w, jnp.float32),
         goal=jnp.asarray(cfg.goal, jnp.float32),
         lambda_=jnp.float32(cfg.lambda_),

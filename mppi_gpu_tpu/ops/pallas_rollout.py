@@ -944,6 +944,145 @@ class _UnicycleFamily:
         return carry0, step, final
 
 
+class _ArmFamily:
+    """Two-link planar manipulator + reach cost (models/arm.py +
+    ops/cost.py ArmReachCost): RK2-midpoint of the manipulator equations
+    with the closed-form 2×2 mass-matrix inverse and joint-rate saturation
+    after each stage, plus the end-effector reach cost. A=2 COUPLED action
+    dims (τ1, τ2) → G=4 rollout groups per tile (pair_dup pattern); four
+    state tiles (q1, q2, qd1, qd2); the first family with a
+    configuration-dependent mass matrix — 12 transcendentals per step
+    (4 trig × 2 RK2 stages for the dynamics + 4 for the cost FK) and one
+    reciprocal per stage, the most trig-heavy family in the registry."""
+
+    name = "arm"
+    NP = 19  # sigma, inv_s, w_pos, w_vel, tx, ty, A, B, D, G1, G2,
+    #          damping, max_rate, l1, l2, x0 (4)
+    _WPOS, _WVEL, _TX, _TY = 2, 3, 4, 5
+    _A, _B, _D, _G1, _G2, _DAMP, _MAXR, _L1, _L2, _X0 = (
+        6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    )
+
+    @staticmethod
+    def supports(dyn, cost) -> bool:
+        from mppi_gpu_tpu.models.arm import TwoLinkArmDynamics
+        from mppi_gpu_tpu.ops.cost import ArmReachCost
+
+        return isinstance(dyn, TwoLinkArmDynamics) and type(cost) is ArmReachCost
+
+    @classmethod
+    def pack(cls, dyn, cost, x0, sigma, plan, tileA):
+        x0 = jnp.broadcast_to(x0, (4,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        g = cost.goal.astype(jnp.float32)
+        return jnp.stack(
+            [
+                tileA(sigma), tileA(cost.inv_s),
+                tileA(w[0]), tileA(w[1]), tileA(g[0]), tileA(g[1]),
+                tileA(dyn.A), tileA(dyn.B), tileA(dyn.D),
+                tileA(dyn.G1), tileA(dyn.G2),
+                tileA(dyn.damping), tileA(dyn.max_rate),
+                tileA(dyn.l1), tileA(dyn.l2),
+                tileA(x0[0]), tileA(x0[1]), tileA(x0[2]), tileA(x0[3]),
+            ],
+            axis=1,
+        )  # (SUB, NP)
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        dt = scal_ref[0, 0]
+        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
+        w_pos, w_vel = col(cls._WPOS), col(cls._WVEL)
+        tx, ty = col(cls._TX), col(cls._TY)
+        A_, B_, D_ = col(cls._A), col(cls._B), col(cls._D)
+        g1, g2 = col(cls._G1), col(cls._G2)
+        damp, maxr = col(cls._DAMP), col(cls._MAXR)
+        l1, l2 = col(cls._L1), col(cls._L2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        even = (row % 2 == 0).astype(jnp.float32)
+
+        def pair_dup(u_eff, off):
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 2 + off:g * 2 + off + 1]
+                rows.append(r)
+                rows.append(r)
+            return jnp.concatenate(rows, axis=0)
+
+        def trig_of(q1, q2):
+            return jnp.sin(q1), jnp.cos(q1), jnp.sin(q2), jnp.cos(q2)
+
+        def deriv(qd1, qd2, t1, t2, trig):
+            # mirrors TwoLinkArmDynamics._deriv, with cos(q1+q2) expanded by
+            # the angle-addition identity on the already-computed per-joint
+            # trig (saves one transcendental per stage; |identity − direct|
+            # is f32 rounding, inside every host-twin tolerance)
+            s1, c1, s2, c2 = trig
+            c12 = c1 * c2 - s1 * s2
+            d11 = A_ + 2.0 * B_ * c2
+            d12 = D_ + B_ * c2
+            hs = B_ * s2
+            r1 = t1 + hs * (2.0 * qd1 * qd2 + qd2 * qd2) \
+                - (g1 * c1 + g2 * c12) - damp * qd1
+            r2 = t2 - hs * qd1 * qd1 - g2 * c12 - damp * qd2
+            inv_det = 1.0 / (d11 * D_ - d12 * d12)
+            qdd1 = (D_ * r1 - d12 * r2) * inv_det
+            qdd2 = (d11 * r2 - d12 * r1) * inv_det
+            return qdd1, qdd2
+
+        def sat(qd):
+            return jnp.clip(qd, -maxr, maxr)
+
+        def state_cost(qd1, qd2, trig):
+            # mirrors ArmReachCost._state: the forward kinematics reuse the
+            # carried state trig (angle addition for the q1+q2 terms), so
+            # the cost costs ZERO transcendentals
+            s1, c1, s2, c2 = trig
+            c12 = c1 * c2 - s1 * s2
+            s12 = s1 * c2 + c1 * s2
+            ex = l1 * c1 + l2 * c12
+            ey = l1 * s1 + l2 * s12
+            dx, dy = ex - tx, ey - ty
+            vel = qd1 * qd1 + qd2 * qd2
+            return even * (w_pos * (dx * dx + dy * dy) + w_vel * vel)
+
+        def carry0():
+            # carry = (q1, q2, qd1, qd2, s1, c1, s2, c2): the state's trig
+            # rides the loop carry — computed once per state, consumed by
+            # the cost AND the next step's first RK2 stage (12 → 8
+            # transcendentals per step, measured 10.2 → 6.75 ms at K=1e5)
+            q = [
+                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(4)
+            ]
+            return (*q, *trig_of(q[0], q[1]))
+
+        def step(state, u_eff):
+            q1, q2, qd1, qd2 = state[:4]
+            trig = state[4:]
+            t1, t2 = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
+            # RK2 midpoint + rate saturation after each stage — mirrors
+            # TwoLinkArmDynamics.step exactly
+            qdd1, qdd2 = deriv(qd1, qd2, t1, t2, trig)
+            q1m = q1 + 0.5 * dt * qd1
+            q2m = q2 + 0.5 * dt * qd2
+            qd1m = sat(qd1 + 0.5 * dt * qdd1)
+            qd2m = sat(qd2 + 0.5 * dt * qdd2)
+            qdd1m, qdd2m = deriv(qd1m, qd2m, t1, t2, trig_of(q1m, q2m))
+            q1n = q1 + dt * qd1m
+            q2n = q2 + dt * qd2m
+            qd1n = sat(qd1 + dt * qdd1m)
+            qd2n = sat(qd2 + dt * qdd2m)
+            trig_n = trig_of(q1n, q2n)
+            state = (q1n, q2n, qd1n, qd2n, *trig_n)
+            return state, state_cost(qd1n, qd2n, trig_n)
+
+        def final(state):
+            return state_cost(state[2], state[3], state[4:])
+
+        return carry0, step, final
+
+
 class _Quadrotor3DFamily:
     """Full 3-D quadrotor, quaternion SE(3) rigid body in mixer action
     space (models/quadrotor3d.py + ops/cost.py Quadrotor3DHoverCost):
@@ -1087,7 +1226,7 @@ FAMILIES = {
     f.name: f
     for f in (
         _LTIQuadFamily, _PendulumFamily, _CartPoleFamily, _LTIObstacleFamily,
-        _QuadrotorFamily, _Quadrotor3DFamily, _UnicycleFamily,
+        _QuadrotorFamily, _Quadrotor3DFamily, _UnicycleFamily, _ArmFamily,
     )
 }
 
@@ -1111,7 +1250,7 @@ def register_family(cls):
     extraction, K-masking, the online softmin, the weighted update, one-pass
     ε staging, fleet batching and mesh sharding — is shared machinery and
     comes for free. After registration the ``'auto'`` backend resolves the
-    pair to the fused Pallas path on TPU exactly like the built-in seven
+    pair to the fused Pallas path on TPU exactly like the built-in eight
     (this is the kernel-side twin of :func:`mppi_gpu_tpu.ops.cost.register_cost`
     and the models' ``Dynamics`` protocol, which extend the scan path).
 

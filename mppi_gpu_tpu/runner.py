@@ -53,13 +53,18 @@ class EpisodeResult:
 
 def _make_world(cfg, params, backend: str) -> Any:
     if backend in ("native", "mujoco"):
-        from mppi_gpu_tpu.envs import is_unicycle_env
+        from mppi_gpu_tpu.envs import is_arm_env, is_unicycle_env
 
         if is_unicycle_env(cfg.env):
             raise ValueError(
                 "the unicycle family is kinematic — there is no native/MuJoCo "
                 "plant to adjudicate (no contact or inertia physics); its "
                 "fine-RK4 JAX world IS the ground truth (use --world jax)"
+            )
+        if is_arm_env(cfg.env):
+            raise ValueError(
+                "no native/MuJoCo twin is wired for the arm family; its "
+                "fine-RK4 JAX world is the plant (use --world jax)"
             )
     if backend == "native":
         if is_quadrotor3d_env(cfg.env):
