@@ -574,4 +574,37 @@ assert jnp.allclose(Sf_u, S_u, rtol=1e-5), "unicycle fused S != kernel A"
 from mppi_gpu_tpu.controller import resolve_backend as _rb
 assert _rb("auto", dyn_u, cost_u, platform="tpu") == "pallas"
 
+# --- two-link arm fused family on hardware: the eighth family — the
+# first with a configuration-dependent mass matrix (closed-form 2x2
+# inverse, 8 trig/step via the carried-trig + angle-addition form);
+# one-hot kernel A/B cross-check vs the scan oracle + fused core
+from mppi_gpu_tpu.models.arm import TwoLinkArmDynamics
+from mppi_gpu_tpu.ops.cost import ArmReachCost
+
+dyn_m = TwoLinkArmDynamics.create(1.0 / 60.0)
+cost_m = ArmReachCost(
+    w=jnp.asarray([20.0, 0.05]), goal=jnp.asarray([0.55, 0.35, 0.0, 0.0]),
+    lambda_=jnp.float32(0.1), inv_s=jnp.asarray([1.0, 0.7]),
+)
+x0_m = jnp.asarray([-1.2, 0.4, 0.5, -0.3])
+T_m, K_m = 16, 700
+t_m = jnp.arange(T_m, dtype=jnp.float32)
+U_m = jnp.stack([4.0 + 2.0 * jnp.sin(0.3 * t_m), 1.5 * jnp.cos(0.5 * t_m)], axis=1)
+sig_m = jnp.asarray([2.0, 1.0])
+assert pr.family_for(dyn_m, cost_m) == "arm"
+S_m = pr.pallas_rollout_costs(dyn_m, cost_m, x0_m, U_m, key, sig_m, K=K_m)
+plan_m = pr.make_plan(K_m, T_m, 2, family="arm")
+assert float(S_m[-1]) > 1e37
+for k in (0, K_m - 1):
+    w_m = jnp.zeros((plan_m.Kpad,), jnp.float32).at[k].set(1.0)
+    eps_k = pr.pallas_weighted_update(dyn_m, cost_m, x0_m, U_m, key, sig_m, w_m, K=K_m)
+    S_ref = float(rollout_costs(dyn_m, cost_m, x0_m, U_m, eps_k[:, None, :])[0])
+    rel = abs(float(S_m[k]) - S_ref) / max(1.0, abs(S_ref))
+    assert rel < 1e-4, f"arm k={k}: rel={rel}"
+Sf_m, dUf_m = pr.pallas_fused_solve_core(
+    dyn_m, cost_m, x0_m, U_m, key, sig_m, jnp.float32(0.4), K=K_m
+)
+assert jnp.allclose(Sf_m, S_m, rtol=1e-5), "arm fused S != kernel A"
+assert _rb("auto", dyn_m, cost_m, platform="tpu") == "pallas"
+
 print("PALLAS_TPU_OK")
