@@ -165,15 +165,13 @@ class ArmReachCost:
     goal: jax.Array     # (4,)
     lambda_: jax.Array
     inv_s: jax.Array    # (a,)
-    l1: jax.Array = None  # set in __post_init__ when omitted
-    l2: jax.Array = None
-
-    def __post_init__(self) -> None:
-        # default link lengths match TwoLinkArmDynamics.create's defaults
-        if self.l1 is None:
-            object.__setattr__(self, "l1", jnp.float32(0.5))
-        if self.l2 is None:
-            object.__setattr__(self, "l2", jnp.float32(0.5))
+    # link lengths: plain-float defaults matching TwoLinkArmDynamics.create.
+    # Deliberately NOT jnp scalars (module import must not init the XLA
+    # backend) and NOT set in __post_init__ (register_dataclass re-runs
+    # __init__ on every unflatten, so a post-init default would overwrite
+    # the None leaves of tree-mapped axis/spec pytrees with arrays).
+    l1: jax.Array = 0.5
+    l2: jax.Array = 0.5
 
     def _state(self, x: jax.Array) -> jax.Array:
         q1, q12 = x[..., 0], x[..., 0] + x[..., 1]

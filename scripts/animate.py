@@ -172,6 +172,41 @@ class _PendulumScene:
         return [self.rod, self.bob]
 
 
+class _ArmScene:
+    """Two-link arm from the shoulder; state x = (q1, q2, q̇1, q̇2) with q1
+    from the +x axis and q2 relative (models/arm.py). Draws both links via
+    the same forward kinematics the reach cost uses, plus the target."""
+
+    def __init__(self, ax, xs, us, goal=None, l1=0.5, l2=0.5):
+        self.q1, self.q2 = xs[:, 0], xs[:, 1]
+        self.l1, self.l2 = l1, l2
+        lim = 1.15 * (l1 + l2)
+        ax.set_xlim(-lim, lim)
+        ax.set_ylim(-lim, lim)
+        ax.set_aspect("equal")
+        ax.plot(0, 0, marker="o", color="0.3", markersize=6)
+        if goal is not None:
+            ax.plot(goal[0], goal[1], marker="*", color="goldenrod",
+                    markersize=14)
+        (self.links,) = ax.plot([], [], lw=3, color="navy",
+                                solid_capstyle="round", marker="o",
+                                markersize=6, markerfacecolor="steelblue")
+        (self.trail,) = ax.plot([], [], lw=1, color="0.7", alpha=0.7)
+        self._ee = np.stack(
+            [l1 * np.cos(self.q1) + l2 * np.cos(self.q1 + self.q2),
+             l1 * np.sin(self.q1) + l2 * np.sin(self.q1 + self.q2)], axis=1)
+
+    def update(self, i):
+        q1, q12 = self.q1[i], self.q1[i] + self.q2[i]
+        ex1, ey1 = self.l1 * np.cos(q1), self.l1 * np.sin(q1)
+        self.links.set_data(
+            [0, ex1, ex1 + self.l2 * np.cos(q12)],
+            [0, ey1, ey1 + self.l2 * np.sin(q12)],
+        )
+        self.trail.set_data(self._ee[: i + 1, 0], self._ee[: i + 1, 1])
+        return [self.links, self.trail]
+
+
 class _CartPoleScene:
     """Cart on a rail + pole; state x = (p, θ, ṗ, θ̇), θ=0 upright."""
 
@@ -287,6 +322,8 @@ def make_animation(t, xs, us, cfg=None, env: str | None = None,
         scene = _PendulumScene(ax, xs, us)
     elif env.startswith("unicycle"):
         scene = _UnicycleScene(ax, xs, us, goal)
+    elif env.startswith("arm"):
+        scene = _ArmScene(ax, xs, us, goal)
     elif env.startswith("cartpole"):
         scene = _CartPoleScene(ax, xs, us)
     elif env.startswith("quadrotor3d"):

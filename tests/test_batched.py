@@ -155,6 +155,15 @@ def test_fleet_pallas_quadrotor3d():
     _fleet_vs_single_pallas(cfg, B=2)
 
 
+def test_fleet_pallas_arm():
+    """Eighth family through the fleet kernel: configuration-dependent mass
+    matrix + the carried-trig step (A=2, G=4, 8 state+trig tiles)."""
+    cfg = load_config("configs/arm.yaml").replace(
+        samples=300, horizon=10, noise_beta=0.0
+    )
+    _fleet_vs_single_pallas(cfg, B=2)
+
+
 def test_fleet_pallas_antithetic_and_ou():
     cfg = load_config(CFG).replace(samples=64, antithetic=True, noise_beta=0.5)
     _fleet_vs_single_pallas(cfg, B=2)

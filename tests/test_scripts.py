@@ -96,7 +96,7 @@ def test_plot_miss(tmp_path):
     "env,s,a",
     [("point_mass1d", 2, 1), ("point_mass2d", 4, 2), ("point_mass3d", 6, 3),
      ("pendulum", 2, 1), ("cartpole", 4, 1), ("quadrotor", 6, 2),
-     ("quadrotor3d", 13, 4), ("unicycle", 3, 2)],
+     ("quadrotor3d", 13, 4), ("unicycle", 3, 2), ("arm", 4, 2)],
 )
 def test_animate_all_scene_families(tmp_path, env, s, a):
     """The offline viewer (scripts/animate.py — substitute for the
