@@ -12,7 +12,7 @@ nothing in the package is edited:
      Pallas kernel (and kernels A/B, the fleet kernel, the sharded path, the
      noise-dump kernel — all shared machinery) to integrate this model
      on-chip. After registration, backend='auto' resolves the pair to the
-     fused path on TPU exactly like the seven built-in families.
+     fused path on TPU exactly like the eight built-in families.
 
 The model: rear-axle kinematic bicycle with velocity drag,
 
