@@ -3,9 +3,10 @@ controller's model (models/arm.py — the world calls the model's `_deriv`,
 so the physics constants can never drift apart) integrated with RK4 at a
 10× finer timestep, with the torque clamp applied to the commanded
 [τ1, τ2] — the integration-level model-plant gap every family carries.
-(Like the unicycle, no native/MuJoCo twin is wired for this family; the
-fine-RK4 world IS the plant and `--world native/mujoco` reports this
-cleanly.)"""
+A real-MuJoCo twin exists too (envs/mujoco_world.MujocoArmWorld — a
+generated uniform-rod MJCF whose CRB dynamics independently reproduce the
+closed-form mass-matrix inverse to ~3e-6, tests/test_mujoco_xval.py); only
+a native C++ twin is not wired (`--world native` reports this cleanly)."""
 
 from __future__ import annotations
 
@@ -26,6 +27,16 @@ class ArmParams:
     control_period: float = 1.0 / 60.0
     sim_end: float = 10.0001
     init_state: tuple = (-1.5707963, 0.0, 0.0, 0.0)  # hanging straight down
+    # physical constants (same defaults as TwoLinkArmDynamics.create; the
+    # analytic world AND the generated MuJoCo MJCF both read these, so the
+    # three backends cannot drift apart)
+    m1: float = 1.0
+    m2: float = 1.0
+    l1: float = 0.5
+    l2: float = 0.5
+    damping: float = 0.05
+    gravity: float = 9.81
+    max_rate: float = 12.0
 
     @property
     def n_axes(self) -> int:  # world-adapter API parity with WorldParams
@@ -64,7 +75,14 @@ class ArmWorld:
     def __post_init__(self) -> None:
         # dt is irrelevant here (the world integrates with its own RK4);
         # what is borrowed is _deriv — the manipulator equations themselves
-        object.__setattr__(self, "_dyn", TwoLinkArmDynamics.create(self.params.timestep))
+        p = self.params
+        object.__setattr__(
+            self, "_dyn",
+            TwoLinkArmDynamics.create(
+                p.timestep, m1=p.m1, m2=p.m2, l1=p.l1, l2=p.l2,
+                damping=p.damping, gravity=p.gravity, max_rate=p.max_rate,
+            ),
+        )
 
     def physics_step(self, s: ArmState, u: jax.Array) -> ArmState:
         p = self.params

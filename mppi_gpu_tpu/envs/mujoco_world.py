@@ -241,6 +241,49 @@ def _quadrotor_mjcf(p) -> str:
 """
 
 
+def _arm_mjcf(p) -> str:
+    """Two-link planar arm matching ArmWorld's manipulator ODE
+    (envs/arm_world.py / models/arm.py): the analytic x-y plane maps to
+    MuJoCo's x-z plane (gravity −z), hinge axes "0 -1 0" so positive q
+    rotates +x toward +z exactly like the analytic angles. Each link is a
+    uniform rod: explicit inertial with com at l/2 and I = m·l²/12 about
+    the axes perpendicular to the rod (the same constants A/B/D/G1/G2 are
+    built from). Joint damping b maps directly to MuJoCo's −b·q̇ torque;
+    direct torque actuators clamped at the per-joint limits. (MuJoCo has
+    no analog of the model's joint-rate saturation — at max_rate=12 rad/s
+    it is a motor envelope the closed loop essentially never hits.)"""
+    i1 = p.m1 * p.l1**2 / 12.0
+    i2 = p.m2 * p.l2**2 / 12.0
+    return f"""
+<mujoco model="tpu-mppi two-link arm (generated)">
+    <compiler angle="radian"/>
+    <option gravity="0 0 -{p.gravity}" integrator="RK4" timestep="{p.timestep}"/>
+    <worldbody>
+        <body name="link1" pos="0 0 0">
+            <joint name="shoulder" type="hinge" axis="0 -1 0" damping="{p.damping}"/>
+            <geom type="capsule" fromto="0 0 0 {p.l1} 0 0" size="0.02"
+                  mass="0" contype="0" conaffinity="0" rgba="0.12 0.22 0.55 1"/>
+            <inertial pos="{0.5 * p.l1} 0 0" mass="{p.m1}"
+                      diaginertia="1e-9 {i1} {i1}"/>
+            <body name="link2" pos="{p.l1} 0 0">
+                <joint name="elbow" type="hinge" axis="0 -1 0" damping="{p.damping}"/>
+                <geom type="capsule" fromto="0 0 0 {p.l2} 0 0" size="0.018"
+                      mass="0" contype="0" conaffinity="0" rgba="0.25 0.45 0.7 1"/>
+                <inertial pos="{0.5 * p.l2} 0 0" mass="{p.m2}"
+                          diaginertia="1e-9 {i2} {i2}"/>
+            </body>
+        </body>
+    </worldbody>
+    <actuator>
+        <motor joint="shoulder" gear="1" ctrllimited="true"
+               ctrlrange="-{p.max_t1} {p.max_t1}"/>
+        <motor joint="elbow" gear="1" ctrllimited="true"
+               ctrlrange="-{p.max_t2} {p.max_t2}"/>
+    </actuator>
+</mujoco>
+"""
+
+
 def _quadrotor3d_mjcf(p) -> str:
     """Full 3-D quadrotor matching Quadrotor3DWorld's rigid-body ODE
     (envs/quadrotor3d_world.py): one free joint (so qpos = [p, quat] and
@@ -300,6 +343,30 @@ class MujocoPendulumWorld(_MujocoWorldBase):
     def reset(self) -> None:
         self._mujoco.mj_resetData(self.m, self.d)
         self.d.qpos[0] = self.params.init_theta
+        self.d.time = self.params.timestep
+        self._mujoco.mj_forward(self.m, self.d)
+
+
+class MujocoArmWorld(_MujocoWorldBase):
+    """Real-MuJoCo two-link-arm plant (no reference analog; extends the
+    MuJoCo-as-ground-truth pattern to the manipulator family — MuJoCo's CRB
+    dynamics independently reproduce the closed-form mass-matrix inverse
+    the analytic worlds use). Reset matches ArmWorld.reset: at init_state,
+    sim clock at one physics step."""
+
+    def __init__(self, params) -> None:
+        import mujoco
+
+        self._mujoco = mujoco
+        self.params = params
+        self.m = mujoco.MjModel.from_xml_string(_arm_mjcf(params))
+        self.d = mujoco.MjData(self.m)
+        self.reset()
+
+    def reset(self) -> None:
+        self._mujoco.mj_resetData(self.m, self.d)
+        self.d.qpos[:] = self.params.init_state[:2]
+        self.d.qvel[:] = self.params.init_state[2:]
         self.d.time = self.params.timestep
         self._mujoco.mj_forward(self.m, self.d)
 

@@ -164,10 +164,10 @@ def run_mismatch_config(
                 "the unicycle family is kinematic and has no native/MuJoCo "
                 "twin; use --world jax"
             )
-        if is_arm_env(cfg.env):
+        if is_arm_env(cfg.env) and world_backend == "native":
             raise ValueError(
-                "no native/MuJoCo twin is wired for the arm family; "
-                "use --world jax"
+                "no native C++ twin is wired for the arm family; "
+                "use --world jax or --world mujoco"
             )
         if world_backend == "native":
             from mppi_gpu_tpu.envs.native import (
@@ -185,6 +185,7 @@ def run_mismatch_config(
                 cls = NativeCartPoleWorld if is_cartpole_env(cfg.env) else NativePendulumWorld
         else:
             from mppi_gpu_tpu.envs.mujoco_world import (
+                MujocoArmWorld,
                 MujocoCartPoleWorld,
                 MujocoPendulumWorld,
                 MujocoQuadrotor3DWorld,
@@ -195,6 +196,8 @@ def run_mismatch_config(
                 cls = MujocoQuadrotor3DWorld
             elif is_quadrotor_env(cfg.env):
                 cls = MujocoQuadrotorWorld
+            elif is_arm_env(cfg.env):
+                cls = MujocoArmWorld
             else:
                 cls = MujocoCartPoleWorld if is_cartpole_env(cfg.env) else MujocoPendulumWorld
         mw = cls(params)

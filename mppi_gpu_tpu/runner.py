@@ -61,10 +61,10 @@ def _make_world(cfg, params, backend: str) -> Any:
                 "plant to adjudicate (no contact or inertia physics); its "
                 "fine-RK4 JAX world IS the ground truth (use --world jax)"
             )
-        if is_arm_env(cfg.env):
+        if is_arm_env(cfg.env) and backend == "native":
             raise ValueError(
-                "no native/MuJoCo twin is wired for the arm family; its "
-                "fine-RK4 JAX world is the plant (use --world jax)"
+                "no native C++ twin is wired for the arm family; use "
+                "--world jax or --world mujoco"
             )
     if backend == "native":
         if is_quadrotor3d_env(cfg.env):
@@ -108,6 +108,12 @@ def _make_world(cfg, params, backend: str) -> Any:
             from mppi_gpu_tpu.envs.mujoco_world import MujocoPendulumWorld
 
             return MujocoPendulumWorld(params)
+        from mppi_gpu_tpu.envs import is_arm_env as _is_arm
+
+        if _is_arm(cfg.env):
+            from mppi_gpu_tpu.envs.mujoco_world import MujocoArmWorld
+
+            return MujocoArmWorld(params)
         from mppi_gpu_tpu.envs.mujoco_world import MujocoPointMassWorld
 
         xml = str(cfg.env) if str(cfg.env).endswith(".xml") else None

@@ -149,11 +149,21 @@ def test_checkpoint_roundtrip():
     np.testing.assert_allclose(np.asarray(world.get_x(s2)), np.asarray(x))
 
 
-def test_no_native_or_mujoco_twin():
+def test_no_native_twin_but_mujoco_works():
+    """The arm has no native C++ twin (clean error), but the real-MuJoCo
+    plant IS wired (cross-validated in test_mujoco_xval) and a short
+    closed loop runs against it."""
     cfg = load_config(CFG)
     ctrl = MPPIController(cfg, rollout_backend="scan")
     with pytest.raises(ValueError, match="arm family"):
         run_closed_loop(ctrl, world_backend="native", max_steps=1)
+    pytest.importorskip("mujoco")
+    cfg_s = cfg.replace(samples=128, horizon=10)
+    res = run_closed_loop(
+        MPPIController(cfg_s, rollout_backend="scan"),
+        world_backend="mujoco", max_steps=5,
+    )
+    assert np.all(np.isfinite(res.xs))
 
 
 # --- fused family (interpret + testmode, the unicycle-family test pattern)

@@ -262,6 +262,43 @@ def test_quadrotor3d_world_vs_real_mujoco():
     assert np.all(gap[7:13] < 1e-2), gap   # velocities
 
 
+def test_arm_world_vs_real_mujoco():
+    """The generated two-link-arm MJCF (uniform-rod inertials, joint
+    damping) is the same plant as ArmWorld's closed-form manipulator ODE:
+    real mj_step — MuJoCo's CRB dynamics, an independent derivation —
+    tracks the analytic RK4 world to f32 rounding (measured ~3e-6 over 60
+    cycles of random torque drive)."""
+    from mppi_gpu_tpu.envs.arm_world import ArmParams, ArmWorld
+    from mppi_gpu_tpu.envs.mujoco_world import MujocoArmWorld
+
+    p = ArmParams()
+    rng = np.random.default_rng(7)
+    us = rng.uniform([-6.0, -3.0], [6.0, 3.0], size=(60, 2)).astype(np.float32)
+    jx = _analytic_cycles(ArmWorld(p), us)
+    mj = MujocoArmWorld(p)
+    gaps = []
+    for t, u in enumerate(us):
+        mj.simulate(u)
+        gaps.append(np.abs(jx[t] - mj.get_x()))
+    gap = np.asarray(gaps).max(axis=0)
+    print(f"arm gap vs real MuJoCo [q1, q2, qd1, qd2]: {gap}")
+    assert np.all(gap[:2] < 1e-4), gap
+    assert np.all(gap[2:] < 1e-3), gap
+
+
+def test_arm_mismatch_jax_and_mujoco_agree():
+    """`miss` for the arm across its two plants (no native C++ twin): the
+    jax fine-RK4 world and real MuJoCo must produce the same open-loop
+    trajectory and the same model-vs-plant RMSE."""
+    from mppi_gpu_tpu.miss import run_mismatch_config
+
+    cfg = load_config("configs/arm.yaml")
+    rj = run_mismatch_config(cfg, n_steps=30, world_backend="jax")
+    rm = run_mismatch_config(cfg, n_steps=30, world_backend="mujoco")
+    assert np.abs(rj.traj_world - rm.traj_world).max() < 1e-4
+    assert abs(rj.position_rmse - rm.position_rmse) < 1e-4
+
+
 @pytest.mark.parametrize("env", ["pendulum", "cartpole", "quadrotor", "quadrotor3d"])
 def test_family_mujoco_closed_loop(env):
     """`--world mujoco` now covers every env family: a short closed-loop
