@@ -355,6 +355,7 @@ def _mujoco_render_model(env: str, cfg):
     import mujoco
 
     from mppi_gpu_tpu.envs import (
+        is_arm_env,
         is_cartpole_env,
         is_pendulum_env,
         is_quadrotor3d_env,
@@ -412,6 +413,19 @@ def _mujoco_render_model(env: str, cfg):
             '<geom type="cylinder" fromto="-2.6 0 0 2.6 0 0" size="0.01" '
             'rgba="0.5 0.5 0.5 0.5" contype="0" conaffinity="0" mass="0"/>'
         )
+    elif is_arm_env(env):
+        from mppi_gpu_tpu.envs.mujoco_world import _arm_mjcf
+
+        xml = _arm_mjcf(params)
+        cam.lookat[:] = (0.0, 0.0, 0.0)
+        cam.distance, cam.elevation, cam.azimuth = 3.0, -10.0, 90.0
+        if cfg is not None and cfg.goal is not None:
+            g = np.asarray(cfg.goal, float)
+            # analytic (x, y) plane maps to MuJoCo (x, z)
+            extras.append(
+                f'<site name="target" pos="{g[0]} 0 {g[1]}" size="0.04" '
+                'rgba="1 0.8 0.1 0.8"/>'
+            )
     else:
         from mppi_gpu_tpu.envs.params import WorldParams
 

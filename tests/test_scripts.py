@@ -148,7 +148,7 @@ def _egl_rendering_available() -> bool:
 @pytest.mark.parametrize(
     "env,s,a",
     [("point_mass2d", 4, 2), ("pendulum", 2, 1), ("cartpole", 4, 1),
-     ("quadrotor", 6, 2), ("quadrotor3d", 13, 4)],
+     ("quadrotor", 6, 2), ("quadrotor3d", 13, 4), ("arm", 4, 2)],
 )
 @pytest.mark.slow
 def test_animate_mujoco_renderer(tmp_path, env, s, a):
