@@ -14,10 +14,12 @@ init-act, max-a, goal, cost: {type, w}`` — and, unlike the reference, actually
   * ``cost.type``— cost registry lookup (reference has only quadratic).
 
 Extra (new) optional keys: ``antithetic`` (bool, default false: mirrored
-noise pairs for variance reduction), ``clamp-action`` (bool, default true), ``seed``
-(int), ``inv-sigma`` ("identity" | "from-noise": whether the uᵀΣ⁻¹ε cost term
-uses Σ⁻¹=I like the reference, src/point_mass_gpu.cu:58-61, or the MPPI-paper
-Σ⁻¹=diag(1/σ²)).
+noise pairs for variance reduction), ``noise-beta`` (float in [0,1), default
+0: OU time-correlated noise), ``opt-iters`` (int ≥ 1, default 1: iterated
+MPPI — that many softmin updates per control cycle), ``clamp-action``
+(bool, default true), ``seed`` (int), ``inv-sigma`` ("identity" |
+"from-noise": whether the uᵀΣ⁻¹ε cost term uses Σ⁻¹=I like the reference,
+src/point_mass_gpu.cu:58-61, or the MPPI-paper Σ⁻¹=diag(1/σ²)).
 """
 
 from __future__ import annotations
