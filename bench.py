@@ -590,7 +590,10 @@ FAMILY_STEP_UNITS = {
     "quadrotor": (49, 5),
     "quadrotor3d": (175, 1),
     "unicycle": (22, 3),
-    "arm": (45, 12),
+    # carried-trig + angle-addition form (docs/kernels.md): 4 trig of the
+    # new state per step, FK cost transcendental-free, +extra poly for the
+    # expanded c12/s12 identities and the mass-matrix recurrences
+    "arm": (53, 8),
 }
 FAMILY_A = {"lti": 3, "lti-obstacle": 3, "pendulum": 1, "cartpole": 1,
             "quadrotor": 2, "quadrotor3d": 4, "unicycle": 2, "arm": 2}

@@ -1,7 +1,11 @@
 """Ground-truth two-link-arm world: the same manipulator equations as the
 controller's model (models/arm.py — the world calls the model's `_deriv`,
 so the physics constants can never drift apart) integrated with RK4 at a
-10× finer timestep, with the torque clamp applied to the commanded
+~3.3× finer timestep (0.005 s vs the model's 1/60 s; 4 physics steps
+advance the plant 0.02 s per control period — the same ceil-based slip
+convention every family carries, matching the reference's MuJoCo loop,
+/root/reference/src/PointMassEnv.cpp:136-139), with the torque clamp
+applied to the commanded
 [τ1, τ2] — the integration-level model-plant gap every family carries.
 A real-MuJoCo twin exists too (envs/mujoco_world.MujocoArmWorld — a
 generated uniform-rod MJCF whose CRB dynamics independently reproduce the

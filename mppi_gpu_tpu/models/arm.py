@@ -25,8 +25,8 @@ per horizon step, like every analytic family. Gravity acts in the plane
 (−y), so this is a vertical reacher: the arm must fight its own weight.
 
 The ground-truth world (envs/arm_world.py) integrates the same equations
-with RK4 at a 10× finer timestep — the integration-level model-plant gap
-every family carries."""
+with RK4 at a ~3.3× finer timestep — the integration-level model-plant
+gap every family carries."""
 
 from __future__ import annotations
 

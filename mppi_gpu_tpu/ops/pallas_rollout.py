@@ -982,7 +982,11 @@ class _ArmFamily:
                 tileA(dyn.A), tileA(dyn.B), tileA(dyn.D),
                 tileA(dyn.G1), tileA(dyn.G2),
                 tileA(dyn.damping), tileA(dyn.max_rate),
-                tileA(dyn.l1), tileA(dyn.l2),
+                # FK link lengths come from the COST (the kernel's l1/l2 feed
+                # only state_cost): ArmReachCost._state uses cost.l1/cost.l2,
+                # which may differ from the dynamics' lengths if a user mixes
+                # defaults — the kernel must mirror the scan cost exactly.
+                tileA(cost.l1), tileA(cost.l2),
                 tileA(x0[0]), tileA(x0[1]), tileA(x0[2]), tileA(x0[3]),
             ],
             axis=1,

@@ -94,8 +94,13 @@ def test_world_matches_model_per_step():
     the same interval, from many random states."""
     cfg = load_config(CFG)
     dyn = TwoLinkArmDynamics.create(cfg.dt)
-    world = make_jax_world(cfg)
+    # test-local world whose timestep divides dt EXACTLY (dt/4), so `sub`
+    # fine-RK4 steps cover precisely the model step's interval — the shipped
+    # default (0.005) gives round(3.33)=3 steps covering only 0.015 s, a
+    # ~10% interval mismatch that would contaminate the truncation gap
+    world = ArmWorld(ArmParams(timestep=float(cfg.dt) / 4.0))
     sub = int(round(cfg.dt / world.params.timestep))
+    assert abs(sub * world.params.timestep - cfg.dt) < 1e-9
     rng = np.random.default_rng(5)
     pos_gaps, rate_gaps = [], []
     for _ in range(40):
@@ -224,6 +229,38 @@ def test_arm_fused_family_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(dUf), np.asarray(dUf_oracle), rtol=2e-4, atol=1e-6
     )
+
+
+def test_arm_fused_uses_cost_link_lengths():
+    """The kernel's FK link lengths must come from the COST, not the
+    dynamics: a user who builds TwoLinkArmDynamics.create(dt, l1=.., l2=..)
+    with a default-length ArmReachCost must get the SAME costs on
+    backend='pallas' as on 'scan' (host-twin invariant)."""
+    from mppi_gpu_tpu.ops import pallas_rollout as pr
+    from mppi_gpu_tpu.ops.cost import ArmReachCost
+    from mppi_gpu_tpu.ops.rollout import rollout_costs
+
+    K, T = 280, 8
+    # dynamics lengths ≠ cost lengths (cost keeps its 0.5 defaults)
+    dyn = TwoLinkArmDynamics.create(1.0 / 60.0, l1=0.8, l2=0.3)
+    cost = ArmReachCost(
+        w=jnp.asarray([20.0, 0.05]),
+        goal=jnp.asarray([0.55, 0.35, 0.0, 0.0]),
+        lambda_=jnp.float32(0.1), inv_s=jnp.asarray([1.0, 0.7]),
+    )
+    x0 = jnp.asarray([-1.2, 0.4, 0.5, -0.3])
+    t = jnp.arange(T, dtype=jnp.float32)
+    U = jnp.stack([4.0 + 2.0 * jnp.sin(0.3 * t), 1.5 * jnp.cos(0.5 * t)], axis=1)
+    sigma = jnp.asarray([2.0, 1.0])
+    key = jax.random.key(7)
+    assert pr.family_for(dyn, cost) == "arm"
+    plan = pr.make_plan(K, T, 2, testmode=True, family="arm")
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    S = pr.pallas_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, interpret=True, testmode=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S[:K]), np.asarray(S_oracle), rtol=5e-5)
 
 
 def test_arm_controller_pallas_interpret_end_to_end():
