@@ -28,18 +28,24 @@ def test_multihost_bootstrap_single_process():
 
 @pytest.mark.mesh_subprocess
 def test_multihost_two_real_processes():
-    """A REAL 2-process cluster (coordinator + worker OS processes, 4
-    virtual CPU devices each): the global 8-device mesh spans both, the
-    sharded solve's three collectives cross the process boundary over
-    XLA:CPU's Gloo transport, and BOTH processes must independently match
-    the single-device deterministic oracle (replicated action/u_next plus
-    each process's addressable K-shards). The strongest multi-host evidence
-    obtainable without pod hardware — see tests/_multiproc_check.py."""
+    """A REAL 2-process cluster (coordinator + worker OS processes) in two
+    scenarios: `scan` (4 virtual CPU devices each, global 8-device mesh,
+    the sharded scan solve) and `pallas-onepass` (1 device each, global
+    2-device mesh, THE default multi-chip dispatch — the one-pass planar
+    fused core per device + the associative softmin combine, its
+    pmin β / psum η / psum ΔU riding XLA:CPU's Gloo transport ACROSS the
+    process boundary). BOTH processes of BOTH scenarios must independently
+    match the single-device deterministic oracle (replicated action/u_next
+    plus each process's addressable K-shards). The strongest multi-host
+    evidence obtainable without pod hardware — see
+    tests/_multiproc_check.py."""
     script = os.path.join(os.path.dirname(__file__), "_multiproc_check.py")
     out = subprocess.run(
         [sys.executable, script], capture_output=True, text=True, timeout=300,
         env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
     )
-    assert out.returncode == 0 and "MULTIPROC_OK" in out.stdout, (
+    assert out.returncode == 0 and (
+        "MULTIPROC_OK scenarios=scan,pallas-onepass" in out.stdout
+    ), (
         f"rc={out.returncode}\nstdout:\n{out.stdout}\nstderr:\n{out.stderr[-3000:]}"
     )
