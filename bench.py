@@ -574,10 +574,13 @@ V5E_MXU_F32_TFLOPS = 49.0   # ~bf16 roof (197) / 4 for f32 matmuls
 TRANSC_UNITS = 34
 NOISE_UNITS = 4.0 + 2 * TRANSC_UNITS   # poly-op equivalents per normal (= 72)
 UPDATE_UNITS = 2.0                     # mul+add per staged-ε element re-read
-# threefry+inverse-CDF normal (the scan path's jax.random.normal), measured
-# 31 ps/normal on v5e (noise-only chain at (T, 3, R, 128)) -> ~120 poly-op
-# equivalents per normal — ~1.7x the kernel's raw-bits Box-Muller
-SCAN_NOISE_UNITS = 120.0
+# rbg+inverse-CDF normal (the round-5 scan default: XLA RngBitGenerator
+# bits through jax.random.normal's erfinv — controller._standard_normal_tiled).
+# Measured COMPOSED with the rollout consumer: gen+rollout 2.35 ms minus
+# rollout-alone 1.11 ms ≈ 1.24 ms for 6.02e7 normals -> ~79 poly-op
+# equivalents per normal (the erfinv chain; the rbg bits are ~free — the
+# old threefry bit source cost ~120 composed)
+SCAN_NOISE_UNITS = 79.0
 
 # (poly ops, transcendentals) per tile element per horizon step, hand-counted
 # from each family's build() closures in ops/pallas_rollout.py (dynamics RK2

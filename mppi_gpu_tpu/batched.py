@@ -87,10 +87,29 @@ class BatchedMPPIController(MPPIController):
         goals: jax.Array | None = None,  # (B, s) per-robot goals (optional)
         rollout_backend: str = "auto",
         testmode: bool = False,
+        sampler: str = "auto",
     ) -> None:
+        # Fleet sampler resolution: the scan fleet is `vmap` over per-robot
+        # solves, and the fast rbg sampler is NOT vmap-elementwise (a
+        # vmapped RngBitGenerator draw matches the unbatched draw only for
+        # robot 0 — see controller._standard_normal_tiled). "auto" therefore
+        # resolves to the vmap-exact threefry erfinv sampler here, keeping
+        # the fleet's decomposability invariant: solve_batch(r) is
+        # BIT-equal to a single-robot solve with the same key and
+        # sampler="erfinv" (tested in test_batched/test_fleet_sharded).
+        # Pass sampler="rbg-boxmuller" explicitly to trade that invariant
+        # for sampling speed (still deterministic, just not
+        # robot-decomposable). Pallas fleet mode samples on-chip per robot
+        # and keeps decomposability regardless.
+        if sampler == "auto":
+            from mppi_gpu_tpu.controller import resolve_sampler
+
+            sampler = resolve_sampler("auto")
+            if sampler in ("rbg", "rbg-boxmuller"):
+                sampler = "erfinv"
         super().__init__(
             cfg, dynamics, cost, rollout_backend=rollout_backend,
-            testmode=testmode,
+            testmode=testmode, sampler=sampler,
         )
         self.n_robots = n_robots
 
@@ -111,6 +130,7 @@ class BatchedMPPIController(MPPIController):
                 mppi_solve, K=cfg.samples, clamp=cfg.clamp_action,
                 rollout_backend="scan", antithetic=cfg.antithetic,
                 ou_beta=cfg.noise_beta, opt_iters=cfg.opt_iters,
+                sampler=self.sampler,
             )
             self._solve_batch_fn = jax.vmap(
                 solve, in_axes=(None, cost_axes, 0, 0, 0, None, None, None)

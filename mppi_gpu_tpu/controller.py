@@ -68,24 +68,75 @@ class SolveResult(NamedTuple):
     info: SolveInfo
 
 
-def _standard_normal_tiled(key: jax.Array, shape: tuple[int, ...]) -> jax.Array:
-    """Standard normals for the tiled sampler — jax.random.normal (threefry
-    + erfinv inverse-CDF) by default.
-
-    MPPI_SCAN_SAMPLER=boxmuller selects Box-Muller over threefry uniforms
-    instead (each uniform pair → two normals via the cos & sin branches).
-    Kept as a measured NEGATIVE result: the Pallas kernels win with
-    Box-Muller on raw PRNG bits, but in XLA it is ~20 % SLOWER than erfinv
-    (2.46 vs 2.06 ms for 6×10⁷ normals at bench geometry, v5e) — XLA's
-    erfinv is one short rational polynomial while sin/cos/log each lower to
-    full range-reduced polynomial chains. Both are exact samplers
-    (Box-Muller's radius caps at √(2·24·ln2) ≈ 5.8σ from the 24-bit
-    uniform); the choice only changes WHICH normals a key maps to, and
-    sample_noise's flat view follows automatically."""
+def resolve_sampler(sampler: str = "auto") -> str:
+    """Resolve the scan-path normal sampler name. ``auto`` honors the
+    MPPI_SCAN_SAMPLER env override and otherwise picks ``rbg`` — the fast
+    default for UNBATCHED solves (see :func:`_standard_normal_tiled` for
+    the vmap caveat that makes batched fleet contexts resolve
+    differently)."""
     import os as _os
 
-    if _os.environ.get("MPPI_SCAN_SAMPLER", "erfinv") != "boxmuller":
+    if sampler != "auto":
+        return sampler
+    return _os.environ.get("MPPI_SCAN_SAMPLER", "rbg")
+
+
+def _standard_normal_tiled(
+    key: jax.Array, shape: tuple[int, ...], sampler: str = "auto"
+) -> jax.Array:
+    """Standard normals for the tiled sampler.
+
+    Default (``sampler="rbg"``): raw bits from the TPU-native XLA
+    `RngBitGenerator` (the jax ``rbg`` key impl) through jax.random.normal's
+    erfinv inverse-CDF. The round-5 phase probe showed WHY the bit source
+    matters: at bench geometry (6×10⁷ normals) threefry sampling was 3.5 ms
+    of the scan backend's 4.7 ms solve. Measured COMPOSED with the rollout
+    scan (gen+rollout, K=10⁵ T=200 LTI, v5e — composition is what counts;
+    standalone slice-consumer probes mislead): threefry+erfinv 4.97 ms,
+    rbg+Box-Muller lane-concat 4.20 (the half-lane concat wrecks the
+    consumer's layout), rbg+BM sublane-concat 3.20, **rbg+erfinv 2.35** —
+    concat-free elementwise erfinv fuses cleanly into the consumer while
+    RngBitGenerator makes the bits ~free. (Removing ε's HBM passes instead
+    was the measured-NEGATIVE alternative: regenerate-in-scan 6.4 ms,
+    emit-from-scan 8.2 ms vs the baseline 4.7 — per-step in-scan generation
+    costs far more than the ~0.9 ms of HBM traffic it saves;
+    docs/kernels.md.)
+
+    The incoming threefry key is deterministically widened to an rbg key
+    (its two words tiled to four), so callers keep plain `jax.random.key`
+    semantics; fold_in/split happen on the threefry key BEFORE conversion.
+
+    **vmap caveat**: `RngBitGenerator` is NOT vmap-elementwise — a vmapped
+    rbg draw matches the unbatched draw only for batch element 0 (jax
+    documents this for the rbg/unsafe_rbg impls). Anything that relies on
+    batch decomposability (the fleet's "vmap of solves == each solve"
+    invariant) must use a threefry sampler, which IS vmap-exact; that is
+    why `BatchedMPPIController` resolves ``auto`` to ``erfinv`` instead
+    (batched.py) while unbatched/shard_map contexts get ``rbg``
+    (shard_map is SPMD, not batching: each device runs the unbatched
+    program, so per-device streams equal the oracle's unbatched
+    reconstruction — asserted down to the 2-OS-process Gloo cluster in
+    tests/_multiproc_check.py).
+
+    ``sampler="erfinv"``: jax.random.normal on the threefry key (bit-stable
+    across XLA versions, unlike RngBitGenerator's stream, and vmap-exact);
+    ``"rbg-boxmuller"``: Box-Muller over rbg raw bits (lane-axis concat —
+    fastest standalone, loses composed); ``"boxmuller"``: Box-Muller over
+    threefry uniforms (measured ~20 % slower than erfinv — kept as the
+    documented negative result). All are exact samplers (Box-Muller's
+    radius caps at √(2·24·ln2) ≈ 5.8σ from the 24-bit uniform); the choice
+    only changes WHICH normals a key maps to, and sample_noise's flat view
+    follows automatically."""
+    sampler = resolve_sampler(sampler)
+    if sampler == "erfinv":
         return jax.random.normal(key, shape, jnp.float32)
+    if sampler in ("rbg", "rbg-boxmuller"):
+        data = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+        key = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
+        if sampler == "rbg":
+            return jax.random.normal(key, shape, jnp.float32)
+    elif sampler != "boxmuller":
+        raise ValueError(f"unknown sampler '{sampler}'")
     half = shape[:-1] + (shape[-1] // 2,)
     k1, k2 = jax.random.split(key)
     u1 = jax.random.uniform(k1, half, jnp.float32)
@@ -104,6 +155,7 @@ def sample_noise_tiled(
     *,
     antithetic: bool = False,
     ou_beta: float = 0.0,
+    sampler: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """ε ~ N(0, diag(σ²)) in the production tiled layout: returns
     ``(eps (T, a, R, 128), valid (R, 128) bool)`` with R a multiple of 8 —
@@ -126,7 +178,7 @@ def sample_noise_tiled(
     sequences, which rewards smoother controls out of the softmin."""
     Keff = K // 2 if antithetic else K
     Rr = round_up_k(Keff) // LANE
-    nu = _standard_normal_tiled(key, (T, action_dim, Rr, LANE))
+    nu = _standard_normal_tiled(key, (T, action_dim, Rr, LANE), sampler)
     if ou_beta > 0.0:
         c = (1.0 - ou_beta**2) ** 0.5  # keeps the stationary variance at σ²
 
@@ -159,6 +211,7 @@ def sample_noise(
     *,
     antithetic: bool = False,
     ou_beta: float = 0.0,
+    sampler: str = "auto",
 ) -> jax.Array:
     """The (T, K, a) rollout-rank view of the EXACT noise stream the tiled
     scan solve consumes for these arguments (the debug/oracle form — the
@@ -167,7 +220,8 @@ def sample_noise(
     under `antithetic` the second K/2 rollouts are the exact mirrors of the
     first."""
     eps_t, _ = sample_noise_tiled(
-        key, T, K, action_dim, sigma, antithetic=antithetic, ou_beta=ou_beta
+        key, T, K, action_dim, sigma, antithetic=antithetic, ou_beta=ou_beta,
+        sampler=sampler,
     )
     Keff = K // 2 if antithetic else K
     Rr = eps_t.shape[2] // (2 if antithetic else 1)
@@ -292,6 +346,7 @@ def mppi_solve(
     ou_beta: float = 0.0,
     testmode: bool = False,
     opt_iters: int = 1,
+    sampler: str = "auto",
 ) -> SolveResult:
     """One full MPPI solve: sample ε, roll out K trajectories over T, softmin
     update, clamp, shift. Pure and jittable; `K` is per-shard when running
@@ -311,7 +366,7 @@ def mppi_solve(
         solve_once = partial(
             mppi_solve, dyn, cost, x0, K=K, clamp=clamp, axis_name=axis_name,
             rollout_backend=rollout_backend, antithetic=antithetic,
-            ou_beta=ou_beta, testmode=testmode, opt_iters=1,
+            ou_beta=ou_beta, testmode=testmode, opt_iters=1, sampler=sampler,
         )
 
         def body(U, j):
@@ -331,14 +386,16 @@ def mppi_solve(
             # that cannot run under per-sample vmap (none known — the
             # Dynamics protocol requires it) or for A/B measurement
             eps = sample_noise(
-                key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta
+                key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta,
+                sampler=sampler,
             )
             S = rollout_costs(dyn, cost, x0, U, eps)
             return solve_from_costs(
                 S, eps, U, lambda_, max_a, clamp=clamp, axis_name=axis_name
             )
         eps, valid = sample_noise_tiled(
-            key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta
+            key, T, K, a, sigma, antithetic=antithetic, ou_beta=ou_beta,
+            sampler=sampler,
         )
         S = rollout_costs_tiled(dyn, cost, x0, U, eps)
         S = jnp.where(valid, S, PAD_COST)
@@ -517,6 +574,7 @@ class MPPIController:
         rollout_backend: str = "auto",
         donate_u: bool = False,
         testmode: bool = False,
+        sampler: str = "auto",
     ) -> None:
         from mppi_gpu_tpu.models import dynamics_for_config
 
@@ -529,6 +587,10 @@ class MPPIController:
         rollout_backend = resolve_backend(rollout_backend, self.dynamics, self.cost)
         self.rollout_backend = rollout_backend
         self._testmode = testmode
+        # scan-path normal sampler (pallas backends sample on-chip and
+        # ignore this); "auto" → rbg here (unbatched context), see
+        # _standard_normal_tiled for the vmap caveat
+        self.sampler = sampler
 
         solve = partial(
             mppi_solve,
@@ -539,6 +601,7 @@ class MPPIController:
             ou_beta=cfg.noise_beta,
             testmode=testmode,
             opt_iters=cfg.opt_iters,
+            sampler=sampler,
         )
         donate = (3,) if donate_u else ()  # donate U's buffer (dyn, cost, x0, U, key,...)
         self._solve = jax.jit(solve, donate_argnums=donate)
@@ -618,6 +681,7 @@ class MPPIController:
                             rollout_backend=backend,
                             antithetic=self.cfg.antithetic,
                             ou_beta=self.cfg.noise_beta, testmode=testmode,
+                            sampler=self.sampler,
                         )
                         return r.info.u_seq, None
 
@@ -646,6 +710,7 @@ class MPPIController:
                     key, T, self.cfg.samples, a, sigma,
                     antithetic=self.cfg.antithetic,
                     ou_beta=self.cfg.noise_beta,
+                    sampler=self.sampler,
                 )
                 S, xs = rollout_trajectories(dyn, cost, x, U, eps)
                 res = solve_from_costs(

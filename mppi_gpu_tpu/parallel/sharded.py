@@ -55,6 +55,7 @@ def sharded_mppi_solve(
     ou_beta: float = 0.0,
     testmode: bool = False,
     opt_iters: int = 1,
+    sampler: str = "auto",
 ) -> SolveResult:
     """One MPPI solve with K rollouts sharded over `mesh`'s `axis_name` axis.
 
@@ -78,11 +79,16 @@ def sharded_mppi_solve(
     def local_solve(dyn, cost, x0, U, key, sigma, lambda_, max_a):
         me = jax.lax.axis_index(axis_name)
         local_key = jax.random.fold_in(key, me)
+        # sampler note: shard_map is SPMD, not batching — each device runs
+        # the UNBATCHED program on its folded key, so the fast rbg sampler
+        # keeps per-device streams equal to the oracle's unbatched
+        # reconstruction (unlike vmap; see controller._standard_normal_tiled)
         return mppi_solve(
             dyn, cost, x0, U, local_key, sigma, lambda_, max_a,
             K=k_loc, clamp=clamp, axis_name=axis_name,
             rollout_backend=rollout_backend, antithetic=antithetic,
             ou_beta=ou_beta, testmode=testmode, opt_iters=opt_iters,
+            sampler=sampler,
         )
 
     out_specs = SolveResult(
@@ -118,6 +124,7 @@ class ShardedMPPIController(MPPIController):
         mesh: Mesh | None = None,
         rollout_backend: str = "auto",
         testmode: bool = False,
+        sampler: str = "auto",
     ) -> None:
         # base init with the generic backend: its single-device jitted solve
         # is replaced below, so don't resolve 'auto' against the wrong
@@ -134,6 +141,7 @@ class ShardedMPPIController(MPPIController):
             self.cost,
             platform=self.mesh.devices.flat[0].platform,
         )
+        self.sampler = sampler
         solve = partial(
             sharded_mppi_solve,
             self.mesh,
@@ -144,5 +152,6 @@ class ShardedMPPIController(MPPIController):
             ou_beta=cfg.noise_beta,
             testmode=testmode,
             opt_iters=cfg.opt_iters,
+            sampler=sampler,
         )
         self._solve = jax.jit(solve)

@@ -19,7 +19,9 @@ def test_batched_matches_single():
     cfg = load_config(CFG)
     B = 3
     ctrl_b = BatchedMPPIController(cfg, B)
-    ctrl_1 = MPPIController(cfg, rollout_backend="scan")
+    # the fleet resolves "auto" to the vmap-exact erfinv sampler (rbg is not
+    # vmap-elementwise); the single-robot twin must match it for bit parity
+    ctrl_1 = MPPIController(cfg, rollout_backend="scan", sampler="erfinv")
 
     xs = jnp.stack([jnp.full((cfg.state_dim,), 0.1 * i) for i in range(B)])
     Us = ctrl_b.init_action_seqs()

@@ -112,7 +112,8 @@ def test_fleet_episode_jit_matches_per_robot_episode_jit():
 
     keys0 = ctrl_b.init_keys()
     for r in range(R):
-        ctrl_1 = MPPIController(cfg, rollout_backend="scan")
+        # match the fleet's vmap-exact sampler (see BatchedMPPIController)
+        ctrl_1 = MPPIController(cfg, rollout_backend="scan", sampler="erfinv")
         res_1 = run_episode_jit(
             ctrl_1, num_steps=6, base_key=keys0[r], x0=xs0[r]
         )

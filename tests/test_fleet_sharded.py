@@ -98,7 +98,8 @@ def test_fleet_on_mesh_oracle_one_robot(mesh8, rng):
     R = 8
     cfg = make_cfg()
     sharded = ShardedFleetController(cfg, R, mesh=mesh8, rollout_backend="scan")
-    single = MPPIController(cfg, rollout_backend="scan")
+    # match the fleet's vmap-exact sampler (see BatchedMPPIController)
+    single = MPPIController(cfg, rollout_backend="scan", sampler="erfinv")
     xs, Us, keys = _fleet_inputs(sharded, R, rng)
 
     got = sharded.solve_batch(xs, Us, keys)

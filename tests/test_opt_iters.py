@@ -102,7 +102,8 @@ def test_opt_iters_fleet_scan_matches_single():
     keys = fleet.init_keys()
     res_f = fleet.solve_batch(xs, Us, keys)
 
-    single = MPPIController(cfg, rollout_backend="scan")
+    # match the fleet's vmap-exact sampler (see BatchedMPPIController)
+    single = MPPIController(cfg, rollout_backend="scan", sampler="erfinv")
     for r in range(R):
         res_1 = single.solve(xs[r], Us[r], keys[r])
         np.testing.assert_allclose(
