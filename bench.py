@@ -268,6 +268,69 @@ def bench_solve(K: int, T: int, backend: str, iters: int, warmup: int,
     return _chained_stats(make_chain, (x, U0), iters, warmup, reps)
 
 
+def bench_floor(K: int, T: int, backend: str, iters: int,
+                antithetic: bool = False, mlp: bool = False, reps: int = 3,
+                family: str = "lti") -> dict:
+    """MEASURED floor for a bench row: the costs-only program — sample +
+    K rollouts x T steps + cost sum, NO softmin/update/shift — timed with
+    the same chained differencing. The solve cannot beat this program (it
+    contains strictly more work), so `p50(floor)/p50(solve)` is a
+    decision-grade utilization: ~100 % means the solve already runs at its
+    own rollout sweep's speed and the update machinery is free.
+
+    This replaces trusting the MODELED roof for per-row headroom claims:
+    round 4 published pendulum fused as '34 % of roof' from the analytic
+    model while the phase probe showed the solve at ~96 % of its measured
+    kernel-A floor — the 34 % was model error (one fitted transcendental
+    constant), not kernel headroom (VERDICT round 4, weak #3).
+
+    Backend mapping: pallas -> `pallas_rollout_costs` (kernel A: on-chip
+    noise + dynamics + cost); scan/mlp -> sample_noise_tiled +
+    rollout_costs_tiled. Identical semantics either way: one full noisy
+    rollout sweep at the row's exact geometry."""
+    from mppi_gpu_tpu.controller import PAD_COST, sample_noise_tiled
+    from mppi_gpu_tpu.ops.rollout import rollout_costs_tiled
+
+    ctrl = build(K, T, backend, antithetic, mlp=mlp, family=family)
+    cfg = ctrl.cfg
+    x = bench_x0(family)
+    U0 = ctrl.init_action_seq()
+    key0 = jax.random.key(0)
+    A = cfg.action_dim
+
+    if ctrl.rollout_backend == "pallas":
+        from mppi_gpu_tpu.ops import pallas_rollout as pr
+
+        def costs_only(key):
+            S = pr.pallas_rollout_costs(
+                ctrl.dynamics, ctrl.cost, x, U0, key, ctrl.sigma,
+                K=K, antithetic=antithetic, ou_beta=cfg.noise_beta,
+            )
+            return jnp.sum(S[:K])
+    else:
+
+        def costs_only(key):
+            eps, valid = sample_noise_tiled(
+                key, T, K, A, ctrl.sigma, antithetic=antithetic,
+                ou_beta=cfg.noise_beta, sampler=ctrl.sampler,
+            )
+            S = rollout_costs_tiled(ctrl.dynamics, ctrl.cost, x, U0, eps)
+            return jnp.sum(jnp.where(valid, S, 0.0))
+
+    def make_chain(n):
+        @jax.jit
+        def chain(z):
+            def body(c, i):
+                return c + costs_only(jax.random.fold_in(key0, i)) * 1e-12, 0.0
+
+            c, _ = jax.lax.scan(body, z, jnp.arange(n))
+            return c
+
+        return chain
+
+    return _chained_stats(make_chain, (jnp.float32(0.0),), iters, 3, reps)
+
+
 def _fmt(s: dict) -> str:
     return (
         f"p50={s['p50_ms']:.3f} ms min={s['min_ms']:.3f} max={s['max_ms']:.3f} "
@@ -726,17 +789,31 @@ def run_all(args) -> dict:
         s = bench_solve(K, args.t, backend, iters, 3, anti, family=family)
         row = {"K": K, "backend": backend, "antithetic": anti, "family": family, **s}
         row["roofline"] = _roofline(family, K, args.t, anti, backend, s["p50_ms"])
+        if not args.no_floors:
+            f = bench_floor(K, args.t, backend, max(iters // 2, 6), anti,
+                            family=family)
+            row["floor_meas_ms"] = f["p50_ms"]
+            row["pct_of_floor"] = round(100.0 * f["p50_ms"] / s["p50_ms"], 1)
         results.append(row)
         tag = backend + (" + antithetic" if anti else "")
         if family != "lti":
             tag += f" [{family}]"
-        print(f"K={K:>7} {tag:<22} {_fmt(s)}  [{_fmt_roofline(row['roofline'])}]",
+        extra = (
+            f"  [floor {row['floor_meas_ms']:.2f} ms = {row['pct_of_floor']:.0f}%]"
+            if "floor_meas_ms" in row else ""
+        )
+        print(f"K={K:>7} {tag:<22} {_fmt(s)}  "
+              f"[{_fmt_roofline(row['roofline'])}]{extra}",
               file=sys.stderr)
     mlp = bench_solve(10_000, args.t, "scan", 20, 3, mlp=True)
     mlp_row = {"K": 10_000, "backend": "mlp-scan", "antithetic": False,
                "family": "mlp", **mlp}
     mlp_row["roofline"] = _roofline("lti", 10_000, args.t, False, "scan",
                                     mlp["p50_ms"], mlp=True)
+    if not args.no_floors:
+        f = bench_floor(10_000, args.t, "scan", 10, mlp=True)
+        mlp_row["floor_meas_ms"] = f["p50_ms"]
+        mlp_row["pct_of_floor"] = round(100.0 * f["p50_ms"] / mlp["p50_ms"], 1)
     results.append(mlp_row)
     print(f"K=  10000 {'MLP(128x128) scan':<22} {_fmt(mlp)}", file=sys.stderr)
 
@@ -759,11 +836,217 @@ def run_all(args) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Solution-quality regression mode (--quality).
+#
+# Perf work can silently trade away solution quality with nothing to catch
+# it (VERDICT round 4, weak #5): these are fixed-seed closed-loop episodes
+# per family (the jitted episode harness, JAX ground-truth world), reduced
+# to a steady-state goal metric + mean visited state cost + a success flag,
+# tracked in BASELINE.md's AUTOGEN:quality-table by the same
+# --update-baseline regen as the perf table. The reference's de-facto
+# quality artifact is its trajectory CSV + plots
+# (/root/reference/src/main.cu:381-383); this is the tracked-number form.
+
+# planning-time obstacle inflation for the quality episode (see
+# _quality_cfg); clearance is scored against the TRUE radii
+QUALITY_OBSTACLE_MARGIN = 0.06
+
+
+def _quality_cfg(family: str):
+    from mppi_gpu_tpu.config import load_config
+
+    yamls = {
+        "lti": "point_mass3d", "pendulum": "pendulum", "cartpole": "cartpole",
+        "quadrotor": "quadrotor", "quadrotor3d": "quadrotor3d",
+        "unicycle": "unicycle", "arm": "arm",
+    }
+    if family == "obstacle":
+        # no tuned YAML exists for the obstacle family; quality-gate it at
+        # the closed-loop scale of the point-mass configs. The planner sees
+        # SAFETY-MARGIN-INFLATED obstacles (standard MPPI deployment
+        # practice: the indicator penalty is free right up to the surface,
+        # so the softmin optimum tracks it and closed-loop model-plant
+        # mismatch would graze a few cm inside the TRUE sphere — measured
+        # -0.018 m without the margin); quality_row then scores clearance
+        # against the TRUE radii.
+        cfg = make_cfg(2048, 50, "obstacle")
+        return cfg.replace(obstacles=tuple(
+            (*ob[:-1], ob[-1] + QUALITY_OBSTACLE_MARGIN)
+            for ob in cfg.obstacles
+        ))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "configs", f"{yamls[family]}.yaml")
+    return load_config(path)
+
+
+def _goal_metric(family: str, cfg):
+    """(metric fn over a trajectory (N, s) -> (N,) distances, unit label).
+    Family-specific 'how far from solved is this state'."""
+    import numpy as np
+
+    g = np.asarray(cfg.goal, np.float64)
+
+    def wrap(th):
+        return np.abs(np.arctan2(np.sin(th), np.cos(th)))
+
+    if family in ("lti", "obstacle"):
+        n = len(cfg.goal) // 2
+        return (lambda xs: np.linalg.norm(xs[:, :n] - g[:n], axis=1)), "m"
+    if family == "pendulum":
+        return (lambda xs: wrap(xs[:, 0])), "rad from upright"
+    if family == "cartpole":
+        return (lambda xs: wrap(xs[:, 1])), "rad from upright"
+    if family == "quadrotor":
+        return (lambda xs: np.linalg.norm(xs[:, :2] - g[:2], axis=1)), "m"
+    if family == "quadrotor3d":
+        return (lambda xs: np.linalg.norm(xs[:, :3] - g[:3], axis=1)), "m"
+    if family == "unicycle":
+        return (lambda xs: np.linalg.norm(xs[:, :2] - g[:2], axis=1)), "m"
+    if family == "arm":
+        from mppi_gpu_tpu.models.arm import TwoLinkArmDynamics
+
+        dyn = TwoLinkArmDynamics.create(cfg.dt)
+
+        def ee_dist(xs):
+            ee = np.asarray(dyn.end_effector(jnp.asarray(xs, jnp.float32)))
+            return np.hypot(ee[:, 0] - g[0], ee[:, 1] - g[1])
+
+        return ee_dist, "m (end effector)"
+    raise ValueError(family)
+
+
+# steady-state success thresholds: regression TRIPWIRES set ~2x above the
+# round-5 measured steady values (see BASELINE.md quality table), not
+# absolute claims — a failing flag means a change made control QUALITY
+# materially worse at fixed seed/budget, go look.
+QUALITY_THRESHOLDS = {
+    "lti": 0.35, "obstacle": 0.5, "pendulum": 0.35, "cartpole": 0.35,
+    "quadrotor": 0.5, "quadrotor3d": 0.8, "unicycle": 0.4, "arm": 0.5,
+}
+
+
+def quality_row(family: str, backend: str = "auto", num_steps: int | None = None,
+                samples: int | None = None, opt_iters: int | None = None,
+                seed: int | None = None) -> dict:
+    """One fixed-seed closed-loop episode -> quality metrics dict."""
+    import numpy as np
+
+    from mppi_gpu_tpu.controller import MPPIController
+    from mppi_gpu_tpu.runner import run_episode_jit
+
+    cfg = _quality_cfg(family)
+    if samples is not None:
+        cfg = cfg.replace(samples=samples)
+    if opt_iters is not None:
+        cfg = cfg.replace(opt_iters=opt_iters)
+    if seed is not None:
+        cfg = cfg.replace(seed=seed)
+    ctrl = MPPIController(cfg, rollout_backend=backend)
+    res = run_episode_jit(ctrl, num_steps=num_steps)
+    metric, unit = _goal_metric(family, cfg)
+    d = metric(np.asarray(res.xs, np.float64))
+    tail = d[-max(len(d) // 4, 1):]
+    # mean visited state cost (the controller's own terminal-form state
+    # cost evaluated along the CLOSED-LOOP trajectory)
+    final_v = jax.vmap(ctrl.cost.final)
+    mean_cost = float(jnp.mean(final_v(jnp.asarray(res.xs, jnp.float32))))
+    row = {
+        "family": family,
+        "backend": ctrl.rollout_backend,
+        "K": cfg.samples,
+        "opt_iters": cfg.opt_iters,
+        "steps": len(res.us),
+        "steady": round(float(tail.mean()), 4),
+        "best": round(float(d.min()), 4),
+        "mean_state_cost": round(mean_cost, 3),
+        "unit": unit,
+        "success": bool(tail.mean() < QUALITY_THRESHOLDS[family]),
+    }
+    if family == "obstacle":
+        # min clearance to any TRUE obstacle surface along the whole
+        # closed-loop trajectory (the planner saw margin-inflated spheres)
+        # — the quality number the obstacle penalty exists for
+        xs = np.asarray(res.xs, np.float64)
+        clear = np.inf
+        for ob in cfg.obstacles:
+            c, r = np.asarray(ob[:3]), ob[3] - QUALITY_OBSTACLE_MARGIN
+            clear = min(
+                clear, float((np.linalg.norm(xs[:, :3] - c, axis=1) - r).min())
+            )
+        row["min_clearance"] = round(clear, 4)
+        row["success"] = row["success"] and clear > 0.0
+    return row
+
+
+QUALITY_FAMILIES = ("lti", "obstacle", "pendulum", "cartpole", "quadrotor",
+                    "quadrotor3d", "unicycle", "arm")
+
+
+def run_quality(args) -> dict:
+    """Fixed-seed closed-loop quality table + the iterated-MPPI fixed-budget
+    comparison (same rollout budget: 1x1024 vs 4x256 on pendulum swing-up —
+    commit f6ae273's result, now a tracked row)."""
+    rows = [quality_row(f, backend=args.backend) for f in QUALITY_FAMILIES]
+    for r in rows:
+        print(
+            f"[{r['family']:<12}] steady={r['steady']:.3f} {r['unit']:<18} "
+            f"best={r['best']:.3f} mean-cost={r['mean_state_cost']:.2f} "
+            f"{'OK' if r['success'] else 'REGRESSED'}",
+            file=sys.stderr,
+        )
+    it_rows = []
+    for K, M in ((1024, 1), (256, 4)):
+        r = quality_row("pendulum", backend=args.backend, samples=K, opt_iters=M)
+        r["family"] = f"pendulum {M}x{K}"
+        it_rows.append(r)
+        print(
+            f"[iterated {M}x{K:<5}] steady={r['steady']:.3f} rad "
+            f"best={r['best']:.3f}",
+            file=sys.stderr,
+        )
+    table = _quality_table(rows, it_rows)
+    print(table, file=sys.stderr)
+    if args.update_baseline:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BASELINE.md")
+        _replace_autogen(path, "quality-table", table)
+        print("BASELINE.md quality table updated", file=sys.stderr)
+    ok = sum(r["success"] for r in rows)
+    return {
+        "metric": "quality_families_ok",
+        "value": ok,
+        "unit": f"of {len(rows)} families",
+        "vs_baseline": None,
+        "table": rows + it_rows,
+    }
+
+
+def _quality_table(rows: list[dict], it_rows: list[dict]) -> str:
+    lines = [
+        "| Episode (fixed seed, full 10 s closed loop) | Backend | K x iters "
+        "| steady-state goal metric | best | mean state cost | success |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows + it_rows:
+        extra = (
+            f" (min obstacle clearance {r['min_clearance']:+.2f} m)"
+            if "min_clearance" in r else ""
+        )
+        lines.append(
+            f"| {r['family']} | {r['backend']} | {r['K']}x{r['opt_iters']} "
+            f"| {r['steady']:.3f} {r['unit']}{extra} | {r['best']:.3f} "
+            f"| {r['mean_state_cost']:.2f} "
+            f"| {'yes' if r['success'] else '**REGRESSED**'} |"
+        )
+    return "\n".join(lines)
+
+
 def _markdown_table(results: list[dict], T: int) -> str:
     lines = [
         "| Workload | Backend | ms/solve (p50) | IQR | min..max "
-        "| roofline (modeled) | vs reference ~300 ms |",
-        "|---|---|---|---|---|---|---|",
+        "| vs measured floor | roofline (modeled) | vs reference ~300 ms |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in results:
         tag = {"scan": "XLA scan", "pallas": "fused Pallas", "mlp-scan":
@@ -780,9 +1063,13 @@ def _markdown_table(results: list[dict], T: int) -> str:
         )
         roof = _fmt_roofline(r["roofline"]) if "roofline" in r else "—"
         iqr = f"{r['iqr_ms']:.2f}" if "iqr_ms" in r else "—"
+        floor = (
+            f"{r['pct_of_floor']:.0f}% of {r['floor_meas_ms']:.2f} ms"
+            if "floor_meas_ms" in r else "—"
+        )
         lines.append(
             f"| {work} | {tag} | {r['p50_ms']:.2f} | {iqr} "
-            f"| {r['min_ms']:.2f}..{r['max_ms']:.2f} | {roof} | {vs} |"
+            f"| {r['min_ms']:.2f}..{r['max_ms']:.2f} | {floor} | {roof} | {vs} |"
         )
     return "\n".join(lines)
 
@@ -883,6 +1170,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    choices=("lti", "pendulum", "cartpole", "obstacle", "quadrotor",
                             "quadrotor3d", "unicycle", "arm"),
                    help="fused model family for the workload")
+    p.add_argument("--no-floors", action="store_true",
+                   help="--all: skip the measured-floor (costs-only program) "
+                   "companion measurement per row")
     p.add_argument("--sharded", action="store_true",
                    help="mesh-size sweep with weak/strong scaling efficiency")
     p.add_argument("--fleet", type=int, default=0, metavar="R",
@@ -891,6 +1181,11 @@ def _build_parser() -> argparse.ArgumentParser:
     p.add_argument("--episode", action="store_true",
                    help="whole-episode-jit headline (10 s closed loop, one "
                    "XLA program) for both backends")
+    p.add_argument("--quality", action="store_true",
+                   help="solution-quality regression table: fixed-seed "
+                   "closed-loop episode per family + the iterated-MPPI "
+                   "fixed-budget comparison; --update-baseline writes "
+                   "BASELINE.md's quality table")
     p.add_argument("--mesh-sizes", default="1,2,4,8")
     p.add_argument("--virtual", action="store_true",
                    help="force an 8-device virtual CPU mesh (shape/harness run)")
@@ -931,6 +1226,8 @@ def main() -> int:
         out = run_fleet(args)
     elif args.episode:
         out = run_episode(args)
+    elif args.quality:
+        out = run_quality(args)
     elif args.all:
         out = run_all(args)
     else:
@@ -951,7 +1248,7 @@ def _supervise(args) -> int:
     cmd += ["--backend", args.backend, "--mesh-sizes", args.mesh_sizes,
             "--family", args.family]
     for flag in ("extra", "antithetic", "mlp", "sharded", "episode", "virtual",
-                 "all", "update_baseline"):
+                 "all", "update_baseline", "quality", "no_floors"):
         if getattr(args, flag):
             cmd.append("--" + flag.replace("_", "-"))
 

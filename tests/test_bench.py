@@ -116,3 +116,68 @@ def test_readme_table_renders_from_results():
     assert "pendulum" in table
     # K=1e6 row absent from results -> em-dash cell, not a crash
     assert "| K=10⁶, T=200 | — | — | — |" in table
+
+
+def test_quality_markers_present():
+    """BASELINE.md must carry the quality-table autogen markers AND a
+    populated table (one row per quality family + the two iterated-MPPI
+    budget rows), each row ending in a success cell."""
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "BASELINE.md")).read()
+    m = re.search(
+        r"<!-- AUTOGEN:quality-table -->\n(.*?)\n<!-- /AUTOGEN:quality-table -->",
+        text, re.S,
+    )
+    assert m, "quality-table autogen markers missing from BASELINE.md"
+    rows = [ln for ln in m.group(1).splitlines() if ln.startswith("| ")]
+    # header + family rows + 2 iterated rows (the |---| separator doesn't
+    # match the "| " prefix)
+    assert len(rows) >= 1 + len(bench.QUALITY_FAMILIES) + 2, rows
+    for ln in rows[1:]:
+        assert ln.rstrip().endswith(("| yes |", "| **REGRESSED** |")), ln
+
+
+def test_quality_row_machinery_cpu():
+    """quality_row end-to-end on CPU at toy scale: metrics finite, keyed,
+    and the success flag is a real threshold comparison (regeneration
+    guard for the BASELINE quality table)."""
+    r = bench.quality_row("pendulum", backend="scan", num_steps=25, samples=64)
+    for k in ("steady", "best", "mean_state_cost", "steps", "success"):
+        assert k in r, r
+    assert r["steps"] == 25 and r["backend"] == "scan"
+    assert 0.0 <= r["best"] <= r["steady"] + 5.0
+    assert r["success"] == (r["steady"] < bench.QUALITY_THRESHOLDS["pendulum"])
+    # the obstacle row must score clearance against the TRUE radii while
+    # the planner saw margin-inflated ones
+    r2 = bench.quality_row("obstacle", backend="scan", num_steps=10, samples=64)
+    assert "min_clearance" in r2
+    cfg = bench._quality_cfg("obstacle")
+    base = bench.make_cfg(2048, 50, "obstacle")
+    for ob_inflated, ob_true in zip(cfg.obstacles, base.obstacles):
+        assert abs(
+            ob_inflated[-1] - ob_true[-1] - bench.QUALITY_OBSTACLE_MARGIN
+        ) < 1e-9
+
+
+def test_quality_metric_definitions():
+    """Every quality family has a metric fn + threshold, and the metric
+    maps a goal-state trajectory to ~zero distance."""
+    import numpy as np
+
+    for fam in bench.QUALITY_FAMILIES:
+        cfg = bench._quality_cfg(fam)
+        assert fam in bench.QUALITY_THRESHOLDS
+        metric, unit = bench._goal_metric(fam, cfg)
+        if fam in ("lti", "obstacle", "quadrotor", "quadrotor3d", "unicycle"):
+            # trajectory sitting exactly at the goal-position -> 0
+            x = np.zeros((3, cfg.state_dim))
+            x[:, : len(cfg.goal)] = np.asarray(cfg.goal)
+            if fam == "quadrotor3d":
+                x[:, : 3] = np.asarray(cfg.goal)[:3]
+            np.testing.assert_allclose(metric(x), 0.0, atol=1e-6)
+        elif fam in ("pendulum", "cartpole"):
+            x = np.zeros((3, cfg.state_dim))
+            np.testing.assert_allclose(metric(x), 0.0, atol=1e-6)
