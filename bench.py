@@ -652,10 +652,13 @@ FAMILY_STEP_UNITS = {
     "lti": (18, 0),
     "lti-obstacle": (18 + 12 * 2, 0),  # 2 obstacles in the bench config
     "pendulum": (23, 3),
-    "cartpole": (45, 7),
-    "quadrotor": (49, 5),
+    # round-5 trig-carry forms (docs/kernels.md "removing math"): the
+    # heading/tilt trig rides the loop carry and each step computes trig
+    # of the half-increments only; +poly for the angle-addition identities
+    "cartpole": (61, 6),     # 4 trig + 2 div (was 5 trig + 2 div)
+    "quadrotor": (65, 4),    # was 5
     "quadrotor3d": (175, 1),
-    "unicycle": (22, 3),
+    "unicycle": (34, 3),     # 2 trig + 1 rsqrt (was 4 trig + 1 rsqrt)
     # carried-trig + angle-addition form (docs/kernels.md): 4 trig of the
     # new state per step, FK cost transcendental-free, +extra poly for the
     # expanded c12/s12 identities and the mass-matrix recurrences

@@ -629,40 +629,56 @@ class _CartPoleFamily:
         mpl, inv_tot = col(cls._MPL), col(cls._INVTOT)
         mp_frac, l, g = col(cls._MPFRAC), col(cls._L), col(cls._G)
 
-        def accel(th, thd, u):
-            # (p̈, θ̈) — mirrors CartPoleDynamics.accel (models/cartpole.py)
-            s, c = jnp.sin(th), jnp.cos(th)
+        def accel_trig(s, c, thd, u):
+            # (p̈, θ̈) — mirrors CartPoleDynamics.accel (models/cartpole.py),
+            # on precomputed pole-angle trig
             a = (u + mpl * thd * thd * s) * inv_tot
             thdd = (g * s - c * a) / (l * (4.0 / 3.0 - mp_frac * c * c))
             pdd = a - mpl * thdd * c * inv_tot
             return pdd, thdd
 
-        def state_cost(p, th, pd, thd):
+        def state_cost(p, c_th, pd, thd):
+            # the upright term consumes the CARRIED cos θ — no transcendental
             return (
-                w0 * p * p + w1 * (1.0 - jnp.cos(th))
+                w0 * p * p + w1 * (1.0 - c_th)
                 + w2 * pd * pd + w3 * thd * thd
             )
 
         def carry0():
+            # carry = (p, sin θ, cos θ, ṗ, θ̇): θ itself is not carried —
+            # dynamics and cost only ever consume its trig (round-5
+            # trig-carry form: 5 → 4 transcendentals/step + 2 divides; the
+            # angle-addition identities are f32 rounding vs the host twin)
             bc = lambda i: jnp.broadcast_to(col(i), (SUB, KB))  # noqa: E731
-            return (bc(cls._X0P), bc(cls._X0TH), bc(cls._X0PD), bc(cls._X0THD))
+            th = bc(cls._X0TH)
+            return (bc(cls._X0P), jnp.sin(th), jnp.cos(th), bc(cls._X0PD),
+                    bc(cls._X0THD))
 
         def step(state, u_eff):
-            p, th, pd, thd = state
-            # RK2 midpoint — mirrors CartPoleDynamics.step exactly
-            pdd1, thdd1 = accel(th, thd, u_eff)
-            th_m = th + 0.5 * dt * thd
+            p, s_th, c_th, pd, thd = state
+            # RK2 midpoint — mirrors CartPoleDynamics.step exactly: stage 1
+            # on the carried trig; θm = θ + δ1 (δ1 = θ̇·dt/2) by angle
+            # addition; θ' = θm + δ2 (δ2 = θ̇·dt/2 + θ̈1·dt²/2) by a second
+            pdd1, thdd1 = accel_trig(s_th, c_th, thd, u_eff)
+            d1 = 0.5 * dt * thd
+            s_d1, c_d1 = jnp.sin(d1), jnp.cos(d1)
+            s_m = s_th * c_d1 + c_th * s_d1
+            c_m = c_th * c_d1 - s_th * s_d1
             thd_m = thd + 0.5 * dt * thdd1
-            pdd2, thdd2 = accel(th_m, thd_m, u_eff)
+            pdd2, thdd2 = accel_trig(s_m, c_m, thd_m, u_eff)
+            d2 = d1 + 0.5 * dt * dt * thdd1
+            s_d2, c_d2 = jnp.sin(d2), jnp.cos(d2)
             pd_m = pd + 0.5 * dt * pdd1
             p = p + dt * pd_m
-            th = th + dt * thd_m
+            s_th = s_m * c_d2 + c_m * s_d2
+            c_th = c_m * c_d2 - s_m * s_d2
             pd = pd + dt * pdd2
             thd = thd + dt * thdd2
-            return (p, th, pd, thd), state_cost(p, th, pd, thd)
+            return (p, s_th, c_th, pd, thd), state_cost(p, c_th, pd, thd)
 
         def final(state):
-            return state_cost(*state)
+            p, s_th, c_th, pd, thd = state
+            return state_cost(p, c_th, pd, thd)
 
         return carry0, step, final
 
@@ -821,35 +837,51 @@ class _QuadrotorFamily:
                 rows.append(r)
             return jnp.concatenate(rows, axis=0)
 
-        def accels(th, F, D):
-            # mirrors QuadrotorDynamics.accels exactly
-            return F * jnp.sin(th) * im, F * jnp.cos(th) * im - grav, ri * D
+        def accels_trig(s_th, c_th, F, D):
+            # mirrors QuadrotorDynamics.accels exactly, on precomputed trig
+            return F * s_th * im, F * c_th * im - grav, ri * D
 
         def state_cost(s):
-            px, pz, th, vx, vz, om = s
+            # the tilt term consumes the CARRIED cos θ — zero transcendentals
+            px, pz, s_th, c_th, vx, vz, om = s
             dx, dz = px - gx, pz - gz
             return even * (
                 w[0] * dx * dx + w[1] * dz * dz
-                + w[2] * (1.0 - jnp.cos(th))
+                + w[2] * (1.0 - c_th)
                 + w[3] * vx * vx + w[4] * vz * vz + w[5] * om * om
             )
 
         def carry0():
-            return tuple(
+            # carry = (px, pz, sin θ, cos θ, vx, vz, ω): θ itself is not
+            # carried — dynamics and cost only ever consume its trig
+            # (round-5 trig-carry form, the arm family's pattern: 5 → 4
+            # transcendentals/step; the angle-addition identities are f32
+            # rounding vs the host twin's direct trig)
+            x = [
                 jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(6)
-            )
+            ]
+            return (x[0], x[1], jnp.sin(x[2]), jnp.cos(x[2]), x[3], x[4], x[5])
 
         def step(state, u_eff):
-            px, pz, th, vx, vz, om = state
+            px, pz, s_th, c_th, vx, vz, om = state
             F, D = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
-            # RK2 midpoint — mirrors QuadrotorDynamics.step exactly
-            ax1, az1, al1 = accels(th, F, D)
-            th_m = th + 0.5 * dt * om
-            ax2, az2, al2 = accels(th_m, F, D)
+            # RK2 midpoint — mirrors QuadrotorDynamics.step exactly: stage 1
+            # on the carried trig; θm = θ + δ1 (δ1 = ω·dt/2) by angle
+            # addition; θ' = θm + δ2 (δ2 = ω·dt/2 + α1·dt²/2 — the stage-1
+            # angular acceleration enters here) by a second addition
+            ax1, az1, al1 = accels_trig(s_th, c_th, F, D)
+            d1 = 0.5 * dt * om
+            s_d1, c_d1 = jnp.sin(d1), jnp.cos(d1)
+            s_m = s_th * c_d1 + c_th * s_d1
+            c_m = c_th * c_d1 - s_th * s_d1
+            ax2, az2, al2 = accels_trig(s_m, c_m, F, D)
+            d2 = d1 + 0.5 * dt * dt * al1
+            s_d2, c_d2 = jnp.sin(d2), jnp.cos(d2)
             state = (
                 px + dt * (vx + 0.5 * dt * ax1),
                 pz + dt * (vz + 0.5 * dt * az1),
-                th + dt * (om + 0.5 * dt * al1),
+                s_m * c_d2 + c_m * s_d2,
+                c_m * c_d2 - s_m * s_d2,
                 vx + dt * ax2,
                 vz + dt * az2,
                 om + dt * al2,
@@ -868,8 +900,22 @@ class _UnicycleFamily:
     kinematics with the wrap-safe face-the-goal bearing term. A=2 COUPLED
     action dims (v, ω) → G=4 rollout groups per tile, each group's two
     action rows duplicated onto both of its rows (the quadrotor family's
-    pair_dup pattern); three state tiles (px, py, θ); two transcendentals
-    (sin, cos of the midpoint heading) + one rsqrt (bearing) per step."""
+    pair_dup pattern).
+
+    Trig-carry form (round 5, the arm family's pattern): the naive step
+    needs FIVE transcendentals — sin/cos of the midpoint heading for the
+    dynamics, sin/cos of the NEW heading for the bearing cost, and the
+    bearing rsqrt. Instead the heading's (sin, cos) ride the loop carry
+    (θ itself is not carried — nothing consumes it), and each step
+    computes only sin/cos of the half-increment δ = ω·dt/2; the midpoint
+    trig is one angle-addition from the carried trig, the new-state trig
+    a second angle-addition by the same δ (θ' = θm + δ exactly, since the
+    heading rate is constant within a step), and the cost consumes the
+    carried trig for free → 2 transcendentals + 1 rsqrt per step
+    (measured 3.27 → 2.45 ms at K=10⁵, T=200). The identities introduce only f32
+    rounding vs the host twin's direct sin(θm)/sin(θ') (random-walk drift
+    ~1e-6 over T=200, inside every oracle tolerance — same argument as
+    the arm's carried trig)."""
 
     name = "unicycle"
     NP = 9  # sigma, inv_s, w_pos, w_head, gx, gy, x0 px/py/θ
@@ -914,32 +960,39 @@ class _UnicycleFamily:
                 rows.append(r)
             return jnp.concatenate(rows, axis=0)
 
-        def state_cost(s):
-            # mirrors UnicycleWaypointCost._state exactly (incl. the 1e-3 ε)
-            px, py, th = s
+        def state_cost(px, py, s_th, c_th):
+            # mirrors UnicycleWaypointCost._state exactly (incl. the 1e-3 ε);
+            # the heading trig comes from the carry — zero transcendentals
             dx, dy = gx - px, gy - py
             d2 = dx * dx + dy * dy
-            align = (dx * jnp.cos(th) + dy * jnp.sin(th)) * jax.lax.rsqrt(d2 + 1e-3)
+            align = (dx * c_th + dy * s_th) * jax.lax.rsqrt(d2 + 1e-3)
             return even * (w_pos * d2 + w_head * (1.0 - align))
 
         def carry0():
-            return tuple(
-                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(3)
-            )
+            # carry = (px, py, sin θ, cos θ): θ itself is not carried —
+            # dynamics and cost only ever consume its trig
+            px = jnp.broadcast_to(col(cls._X0), (SUB, KB))
+            py = jnp.broadcast_to(col(cls._X0 + 1), (SUB, KB))
+            th = jnp.broadcast_to(col(cls._X0 + 2), (SUB, KB))
+            return (px, py, jnp.sin(th), jnp.cos(th))
 
         def step(state, u_eff):
-            px, py, th = state
+            px, py, s_th, c_th = state
             v, om = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
-            th_m = th + 0.5 * dt * om  # RK2 midpoint — mirrors UnicycleDynamics.step
-            state = (
-                px + dt * v * jnp.cos(th_m),
-                py + dt * v * jnp.sin(th_m),
-                th + dt * om,
-            )
-            return state, state_cost(state)
+            # δ = ω·dt/2: the ONLY trig of the step; midpoint and new-state
+            # headings are angle-additions (θm = θ+δ, θ' = θm+δ) — mirrors
+            # UnicycleDynamics.step's RK2 midpoint to f32 rounding
+            d = 0.5 * dt * om
+            s_d, c_d = jnp.sin(d), jnp.cos(d)
+            s_m = s_th * c_d + c_th * s_d
+            c_m = c_th * c_d - s_th * s_d
+            s_n = s_m * c_d + c_m * s_d
+            c_n = c_m * c_d - s_m * s_d
+            state = (px + dt * v * c_m, py + dt * v * s_m, s_n, c_n)
+            return state, state_cost(*state)
 
         def final(state):
-            return state_cost(state)
+            return state_cost(*state)
 
         return carry0, step, final
 
