@@ -1066,10 +1066,16 @@ def _markdown_table(results: list[dict], T: int) -> str:
         )
         roof = _fmt_roofline(r["roofline"]) if "roofline" in r else "—"
         iqr = f"{r['iqr_ms']:.2f}" if "iqr_ms" in r else "—"
-        floor = (
-            f"{r['pct_of_floor']:.0f}% of {r['floor_meas_ms']:.2f} ms"
-            if "floor_meas_ms" in r else "—"
-        )
+        if "floor_meas_ms" not in r:
+            floor = "—"
+        elif r["pct_of_floor"] > 112.0:
+            # the floor program (two-kernel kernel A) has a DIFFERENT
+            # geometry than this row's shipped one-pass planar/antithetic
+            # path (row-packed sublane waste, unmirrored noise), so the
+            # solve legitimately beats it — report the fact, not a bogus %
+            floor = f"beats two-kernel A ({r['floor_meas_ms']:.2f} ms)"
+        else:
+            floor = f"{r['pct_of_floor']:.0f}% of {r['floor_meas_ms']:.2f} ms"
         lines.append(
             f"| {work} | {tag} | {r['p50_ms']:.2f} | {iqr} "
             f"| {r['min_ms']:.2f}..{r['max_ms']:.2f} | {floor} | {roof} | {vs} |"

@@ -49,3 +49,26 @@ def test_multihost_two_real_processes():
     ), (
         f"rc={out.returncode}\nstdout:\n{out.stdout}\nstderr:\n{out.stderr[-3000:]}"
     )
+
+
+@pytest.mark.mesh_subprocess
+def test_multihost_onepass_composed_n8():
+    """THE default multi-chip dispatch — the one-pass planar fused core +
+    associative softmin combine — composed and EXECUTED at n=8: eight OS
+    processes x 1 virtual CPU device each, global 8-device mesh, the
+    pmin/psum combine crossing 7/8 of its partners over Gloo, every
+    process independently matching the deterministic oracle. Closes the
+    round-4 gap where the composed one-pass evidence was capped at n=2
+    (the single-process interpreter livelocks at >=4 device threads; one
+    device per PROCESS sidesteps it entirely)."""
+    script = os.path.join(os.path.dirname(__file__), "_multiproc_check.py")
+    out = subprocess.run(
+        [sys.executable, script, "pallas-onepass-8"], capture_output=True,
+        text=True, timeout=600,
+        env={k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"},
+    )
+    assert out.returncode == 0 and (
+        "MULTIPROC_OK scenarios=pallas-onepass-8" in out.stdout
+    ), (
+        f"rc={out.returncode}\nstdout:\n{out.stdout}\nstderr:\n{out.stderr[-3000:]}"
+    )
