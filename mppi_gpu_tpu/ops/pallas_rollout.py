@@ -47,11 +47,15 @@ Beyond the two-kernel form above, the hot path now runs as a SINGLE launch:
 the ONE-PASS kernels (`_onepass_solve_kernel` and friends) stage each
 tile's ε in VMEM and fold the softmin + weighted update into the rollout
 sweep with an online (flash-attention-style) rescale; the PLANAR layout
-(`plan.planar`, dims on tiles) removes the sublane padding entirely for
-the elementwise-per-dim families; fleet variants batch R robots as a grid
-axis; and the sharded path runs the same one-pass core per device with an
-associative cross-device combine. docs/kernels.md is the narrative map of
-all of this with the measured effect of each step.
+(`plan.planar`) removes the row-packed layout's waste — sublane padding
+for the elementwise-per-dim families (dims on tiles, A=3), and since
+round 5 the A× group-DUPLICATION of every dynamics/cost op for the
+coupled families (STATE-planar: rows are whole rollouts, each state
+component on its own tile — `COUPLED_PLANAR_FAMILIES`); fleet variants
+batch R robots as a grid axis; and the sharded path runs the same
+one-pass core per device with an associative cross-device combine.
+docs/kernels.md is the narrative map of all of this with the measured
+effect of each step.
 """
 
 from __future__ import annotations
@@ -210,8 +214,15 @@ def make_plan(
     if (
         onepass
         and os.environ.get("MPPI_PALLAS_PLANAR", "1") != "0"
-        and family in PLANAR_FAMILIES
-        and SUB % action_dim != 0
+        and (
+            # elementwise-per-dim families: planar pays only when the
+            # row-packed layout would waste sublane rows (SUB % A != 0)
+            (family in PLANAR_FAMILIES and SUB % action_dim != 0)
+            # coupled families: planar ALWAYS pays — the row-packed layout
+            # duplicates each group's state across its A rows, so the
+            # dynamics/cost stream runs at A× (round 5; docs/kernels.md)
+            or family in COUPLED_PLANAR_FAMILIES
+        )
     ):
         # planar lane count: its own budget cut (A stage buffers), its own
         # field — the row-packed kernels (A/B, the sharded path) keep KB
@@ -509,6 +520,61 @@ class _LTIQuadFamily:
 
         return carry0, step, final
 
+    @classmethod
+    def pack_planar(cls, dyn, cost, x0, sigma, plan):
+        """(A, NP) per-dim parameter rows for the planar kernels — same
+        column semantics as :meth:`pack`, one row per action dim."""
+        A = plan.A
+        w, g = cost.w.astype(jnp.float32), cost.goal.astype(jnp.float32)
+        x0 = jnp.broadcast_to(x0, (2 * A,)).astype(jnp.float32)
+        return jnp.stack(
+            [
+                jnp.broadcast_to(sigma, (A,)).astype(jnp.float32),
+                jnp.broadcast_to(cost.inv_s, (A,)).astype(jnp.float32),
+                w[:A], w[A:], g[:A], g[A:], x0[:A], x0[A:],
+            ],
+            axis=1,
+        )  # (A, NP)
+
+    @classmethod
+    def build_planar(cls, p_at, scal_ref, plan: 'PallasPlan'):
+        """Planar form: per-dim (SUB, KBp) state tiles whose rows are whole
+        rollouts; dims couple only through the cost accumulator."""
+        A, KB = plan.A, plan.KBp
+        dt = scal_ref[0, 0]
+        hdt2 = 0.5 * dt * dt
+        wq = [p_at(i, cls._WQ) for i in range(A)]
+        wqd = [p_at(i, cls._WQD) for i in range(A)]
+        gq = [p_at(i, cls._GQ) for i in range(A)]
+        gqd = [p_at(i, cls._GQD) for i in range(A)]
+
+        def state_cost(q, qd):
+            c = jnp.zeros((SUB, KB), jnp.float32)
+            for i in range(A):
+                dq, dqd = q[i] - gq[i], qd[i] - gqd[i]
+                c = c + wq[i] * dq * dq + wqd[i] * dqd * dqd
+            return c
+
+        def carry0():
+            bc = lambda v: jnp.broadcast_to(  # noqa: E731
+                jnp.asarray(v, jnp.float32), (SUB, KB)
+            )
+            return (
+                tuple(bc(p_at(i, cls._X0Q)) for i in range(A)),
+                tuple(bc(p_at(i, cls._X0QD)) for i in range(A)),
+            )
+
+        def step(state, acts):
+            q, qd = state
+            q2 = tuple(q[i] + dt * qd[i] + hdt2 * acts[i] for i in range(A))
+            qd2 = tuple(qd[i] + dt * acts[i] for i in range(A))
+            return (q2, qd2), state_cost(q2, qd2)
+
+        def final(state):
+            return state_cost(*state)
+
+        return carry0, step, final
+
 
 class _PendulumFamily:
     """Torque-limited pendulum swing-up: RK2-midpoint integration of
@@ -765,6 +831,48 @@ class _LTIObstacleFamily(_LTIQuadFamily):
 
         return carry0, step, final
 
+    @classmethod
+    def pack_planar(cls, dyn, cost, x0, sigma, plan):
+        """Base LTI per-dim rows + obstacle columns (8 = penalty,
+        9+2m = center_m[dim], 10+2m = radius_m² — scalars replicated)."""
+        A = plan.A
+        base = _LTIQuadFamily.pack_planar(dyn, cost.base, x0, sigma, plan)
+        rep = lambda v: jnp.broadcast_to(  # noqa: E731
+            jnp.asarray(v, jnp.float32), (A,)
+        )
+        cols = [rep(cost.penalty)]
+        for m in range(plan.extra):
+            cols.append(cost.centers[m].astype(jnp.float32))
+            cols.append(rep(cost.radii[m] ** 2))
+        return jnp.concatenate([base, jnp.stack(cols, axis=1)], axis=1)
+
+    @classmethod
+    def build_planar(cls, p_at, scal_ref, plan: 'PallasPlan'):
+        A, KB, M = plan.A, plan.KBp, plan.extra
+        carry0, lti_step, lti_final = _LTIQuadFamily.build_planar(
+            p_at, scal_ref, plan
+        )
+        pen = p_at(0, cls._PEN)
+
+        def obstacle_cost(q):
+            hits = jnp.zeros((SUB, KB), jnp.float32)
+            for m in range(M):
+                d2 = jnp.zeros((SUB, KB), jnp.float32)
+                for i in range(A):
+                    d = q[i] - p_at(i, 9 + 2 * m)
+                    d2 = d2 + d * d
+                hits = hits + (d2 < p_at(0, 10 + 2 * m)).astype(jnp.float32)
+            return pen * hits
+
+        def step(state, acts):
+            state, c_state = lti_step(state, acts)
+            return state, c_state + obstacle_cost(state[0])
+
+        def final(state):
+            return lti_final(state) + obstacle_cost(state[0])
+
+        return carry0, step, final
+
 
 class _QuadrotorFamily:
     """Planar quadrotor in mixer action space (models/quadrotor.py +
@@ -816,26 +924,12 @@ class _QuadrotorFamily:
         return jnp.stack(cols, axis=1)  # (SUB, NP)
 
     @classmethod
-    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
-        G, KB = plan.G, plan.KB
-        dt = scal_ref[0, 0]
-        col = lambda i: p_ref[:, i:i + 1]  # (SUB, 1): lane-only broadcasts  # noqa: E731
-        w = [col(cls._W0 + i) for i in range(6)]
-        gx, gz = col(cls._GX), col(cls._GZ)
-        im, ri, grav = col(cls._IM), col(cls._RI), col(cls._GRAV)
-        # even-row mask: group g's cost rides row g·2 only
-        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
-        even = (row % 2 == 0).astype(jnp.float32)
-
-        def pair_dup(u_eff, off):
-            """(SUB, KB): rows g·2 and g·2+1 both carry group g's action
-            row `off` (0 = collective F, 1 = differential D)."""
-            rows = []
-            for g in range(G):
-                r = u_eff[g * 2 + off:g * 2 + off + 1]
-                rows.append(r)
-                rows.append(r)
-            return jnp.concatenate(rows, axis=0)
+    def _core(cls, P, dt, KB: int):
+        """Layout-agnostic physics/cost closures (see the unicycle family's
+        _core for the P/acts conventions)."""
+        w = [P(cls._W0 + i) for i in range(6)]
+        gx, gz = P(cls._GX), P(cls._GZ)
+        im, ri, grav = P(cls._IM), P(cls._RI), P(cls._GRAV)
 
         def accels_trig(s_th, c_th, F, D):
             # mirrors QuadrotorDynamics.accels exactly, on precomputed trig
@@ -845,7 +939,7 @@ class _QuadrotorFamily:
             # the tilt term consumes the CARRIED cos θ — zero transcendentals
             px, pz, s_th, c_th, vx, vz, om = s
             dx, dz = px - gx, pz - gz
-            return even * (
+            return (
                 w[0] * dx * dx + w[1] * dz * dz
                 + w[2] * (1.0 - c_th)
                 + w[3] * vx * vx + w[4] * vz * vz + w[5] * om * om
@@ -857,14 +951,15 @@ class _QuadrotorFamily:
             # (round-5 trig-carry form, the arm family's pattern: 5 → 4
             # transcendentals/step; the angle-addition identities are f32
             # rounding vs the host twin's direct trig)
-            x = [
-                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(6)
-            ]
+            bc = lambda v: jnp.broadcast_to(  # noqa: E731
+                jnp.asarray(v, jnp.float32), (SUB, KB)
+            )
+            x = [bc(P(cls._X0 + i)) for i in range(6)]
             return (x[0], x[1], jnp.sin(x[2]), jnp.cos(x[2]), x[3], x[4], x[5])
 
-        def step(state, u_eff):
+        def step_core(state, acts):
             px, pz, s_th, c_th, vx, vz, om = state
-            F, D = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
+            F, D = acts
             # RK2 midpoint — mirrors QuadrotorDynamics.step exactly: stage 1
             # on the carried trig; θm = θ + δ1 (δ1 = ω·dt/2) by angle
             # addition; θ' = θm + δ2 (δ2 = ω·dt/2 + α1·dt²/2 — the stage-1
@@ -888,10 +983,63 @@ class _QuadrotorFamily:
             )
             return state, state_cost(state)
 
-        def final(state):
+        def final_core(state):
             return state_cost(state)
 
+        return carry0, step_core, final_core
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        carry0, step_core, final_core = cls._core(
+            lambda c: p_ref[:, c:c + 1], scal_ref[0, 0], KB
+        )
+        # even-row mask: group g's cost rides row g·2 only
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        even = (row % 2 == 0).astype(jnp.float32)
+
+        def pair_dup(u_eff, off):
+            """(SUB, KB): rows g·2 and g·2+1 both carry group g's action
+            row `off` (0 = collective F, 1 = differential D)."""
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 2 + off:g * 2 + off + 1]
+                rows.append(r)
+                rows.append(r)
+            return jnp.concatenate(rows, axis=0)
+
+        def step(state, u_eff):
+            state, c = step_core(
+                state, [pair_dup(u_eff, 0), pair_dup(u_eff, 1)]
+            )
+            return state, even * c
+
+        def final(state):
+            return even * final_core(state)
+
         return carry0, step, final
+
+    @classmethod
+    def pack_planar(cls, dyn, cost, x0, sigma, plan):
+        x0 = jnp.broadcast_to(x0, (6,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        A = plan.A
+        rep = lambda v: jnp.broadcast_to(  # noqa: E731
+            jnp.asarray(v, jnp.float32), (A,)
+        )
+        cols = [
+            jnp.broadcast_to(sigma, (A,)).astype(jnp.float32),
+            jnp.broadcast_to(cost.inv_s, (A,)).astype(jnp.float32),
+        ]
+        cols += [rep(w[i]) for i in range(6)]
+        cols += [rep(cost.goal[0]), rep(cost.goal[1])]
+        cols += [rep(x0[i]) for i in range(6)]
+        cols += [rep(1.0 / dyn.mass), rep(dyn.arm / dyn.inertia), rep(dyn.gravity)]
+        return jnp.stack(cols, axis=1)  # (A, NP)
+
+    @classmethod
+    def build_planar(cls, p_at, scal_ref, plan: 'PallasPlan'):
+        return cls._core(lambda c: p_at(0, c), scal_ref[0, 0], plan.KBp)
 
 
 class _UnicycleFamily:
@@ -943,22 +1091,15 @@ class _UnicycleFamily:
         )  # (SUB, NP)
 
     @classmethod
-    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
-        G, KB = plan.G, plan.KB
-        dt = scal_ref[0, 0]
-        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
-        w_pos, w_head = col(cls._WPOS), col(cls._WHEAD)
-        gx, gy = col(cls._GX), col(cls._GY)
-        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
-        even = (row % 2 == 0).astype(jnp.float32)
-
-        def pair_dup(u_eff, off):
-            rows = []
-            for g in range(G):
-                r = u_eff[g * 2 + off:g * 2 + off + 1]
-                rows.append(r)
-                rows.append(r)
-            return jnp.concatenate(rows, axis=0)
+    def _core(cls, P, dt, KB: int):
+        """Layout-agnostic physics/cost closures. `P(col)` yields a parameter
+        as a scalar (planar SMEM) or an (SUB, 1) column (row-packed VMEM) —
+        both broadcast identically against (SUB, KB) tiles. `step_core`
+        consumes the per-dim effective actions as a LIST of (SUB, KB) tiles
+        and returns the UNMASKED per-element state cost; the layout wrappers
+        add action extraction (pair_dup) and group masking."""
+        w_pos, w_head = P(cls._WPOS), P(cls._WHEAD)
+        gx, gy = P(cls._GX), P(cls._GY)
 
         def state_cost(px, py, s_th, c_th):
             # mirrors UnicycleWaypointCost._state exactly (incl. the 1e-3 ε);
@@ -966,19 +1107,20 @@ class _UnicycleFamily:
             dx, dy = gx - px, gy - py
             d2 = dx * dx + dy * dy
             align = (dx * c_th + dy * s_th) * jax.lax.rsqrt(d2 + 1e-3)
-            return even * (w_pos * d2 + w_head * (1.0 - align))
+            return w_pos * d2 + w_head * (1.0 - align)
 
         def carry0():
             # carry = (px, py, sin θ, cos θ): θ itself is not carried —
             # dynamics and cost only ever consume its trig
-            px = jnp.broadcast_to(col(cls._X0), (SUB, KB))
-            py = jnp.broadcast_to(col(cls._X0 + 1), (SUB, KB))
-            th = jnp.broadcast_to(col(cls._X0 + 2), (SUB, KB))
-            return (px, py, jnp.sin(th), jnp.cos(th))
+            bc = lambda v: jnp.broadcast_to(  # noqa: E731
+                jnp.asarray(v, jnp.float32), (SUB, KB)
+            )
+            th = bc(P(cls._X0 + 2))
+            return (bc(P(cls._X0)), bc(P(cls._X0 + 1)), jnp.sin(th), jnp.cos(th))
 
-        def step(state, u_eff):
+        def step_core(state, acts):
             px, py, s_th, c_th = state
-            v, om = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
+            v, om = acts
             # δ = ω·dt/2: the ONLY trig of the step; midpoint and new-state
             # headings are angle-additions (θm = θ+δ, θ' = θm+δ) — mirrors
             # UnicycleDynamics.step's RK2 midpoint to f32 rounding
@@ -991,10 +1133,71 @@ class _UnicycleFamily:
             state = (px + dt * v * c_m, py + dt * v * s_m, s_n, c_n)
             return state, state_cost(*state)
 
-        def final(state):
+        def final_core(state):
             return state_cost(*state)
 
+        return carry0, step_core, final_core
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        carry0, step_core, final_core = cls._core(
+            lambda c: p_ref[:, c:c + 1], scal_ref[0, 0], KB
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        even = (row % 2 == 0).astype(jnp.float32)
+
+        def pair_dup(u_eff, off):
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 2 + off:g * 2 + off + 1]
+                rows.append(r)
+                rows.append(r)
+            return jnp.concatenate(rows, axis=0)
+
+        def step(state, u_eff):
+            state, c = step_core(
+                state, [pair_dup(u_eff, 0), pair_dup(u_eff, 1)]
+            )
+            return state, even * c
+
+        def final(state):
+            return even * final_core(state)
+
         return carry0, step, final
+
+    @classmethod
+    def pack_planar(cls, dyn, cost, x0, sigma, plan):
+        """(A, NP) per-dim parameter rows for the planar kernels: cols 0/1 =
+        per-dim σ/Σ⁻¹ (read by the shared phases), family scalars replicated
+        across rows at the SAME column indices the row-packed pack uses."""
+        x0 = jnp.broadcast_to(x0, (3,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        g = cost.goal.astype(jnp.float32)
+        A = plan.A
+        rep = lambda v: jnp.broadcast_to(  # noqa: E731
+            jnp.asarray(v, jnp.float32), (A,)
+        )
+        return jnp.stack(
+            [
+                jnp.broadcast_to(sigma, (A,)).astype(jnp.float32),
+                jnp.broadcast_to(cost.inv_s, (A,)).astype(jnp.float32),
+                rep(w[0]), rep(w[1]), rep(g[0]), rep(g[1]),
+                rep(x0[0]), rep(x0[1]), rep(x0[2]),
+            ],
+            axis=1,
+        )  # (A, NP)
+
+    @classmethod
+    def build_planar(cls, p_at, scal_ref, plan: 'PallasPlan'):
+        """Planar (state-planar) form: rows are 8 WHOLE rollouts, the A=2
+        effective-action tiles arrive as a list — no pair_dup, no group
+        mask, and the dynamics/cost run at 1× instead of the row-packed
+        form's 2× group duplication (round 5; docs/kernels.md)."""
+        carry0, step_core, final_core = cls._core(
+            lambda c: p_at(0, c), scal_ref[0, 0], plan.KBp
+        )
+        return carry0, step_core, final_core
 
 
 class _ArmFamily:
@@ -1046,26 +1249,15 @@ class _ArmFamily:
         )  # (SUB, NP)
 
     @classmethod
-    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
-        G, KB = plan.G, plan.KB
-        dt = scal_ref[0, 0]
-        col = lambda i: p_ref[:, i:i + 1]  # noqa: E731
-        w_pos, w_vel = col(cls._WPOS), col(cls._WVEL)
-        tx, ty = col(cls._TX), col(cls._TY)
-        A_, B_, D_ = col(cls._A), col(cls._B), col(cls._D)
-        g1, g2 = col(cls._G1), col(cls._G2)
-        damp, maxr = col(cls._DAMP), col(cls._MAXR)
-        l1, l2 = col(cls._L1), col(cls._L2)
-        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
-        even = (row % 2 == 0).astype(jnp.float32)
-
-        def pair_dup(u_eff, off):
-            rows = []
-            for g in range(G):
-                r = u_eff[g * 2 + off:g * 2 + off + 1]
-                rows.append(r)
-                rows.append(r)
-            return jnp.concatenate(rows, axis=0)
+    def _core(cls, P, dt, KB: int):
+        """Layout-agnostic physics/cost closures (see the unicycle family's
+        _core for the P/acts conventions)."""
+        w_pos, w_vel = P(cls._WPOS), P(cls._WVEL)
+        tx, ty = P(cls._TX), P(cls._TY)
+        A_, B_, D_ = P(cls._A), P(cls._B), P(cls._D)
+        g1, g2 = P(cls._G1), P(cls._G2)
+        damp, maxr = P(cls._DAMP), P(cls._MAXR)
+        l1, l2 = P(cls._L1), P(cls._L2)
 
         def trig_of(q1, q2):
             return jnp.sin(q1), jnp.cos(q1), jnp.sin(q2), jnp.cos(q2)
@@ -1102,22 +1294,23 @@ class _ArmFamily:
             ey = l1 * s1 + l2 * s12
             dx, dy = ex - tx, ey - ty
             vel = qd1 * qd1 + qd2 * qd2
-            return even * (w_pos * (dx * dx + dy * dy) + w_vel * vel)
+            return w_pos * (dx * dx + dy * dy) + w_vel * vel
 
         def carry0():
             # carry = (q1, q2, qd1, qd2, s1, c1, s2, c2): the state's trig
             # rides the loop carry — computed once per state, consumed by
             # the cost AND the next step's first RK2 stage (12 → 8
             # transcendentals per step, measured 10.2 → 6.75 ms at K=1e5)
-            q = [
-                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(4)
-            ]
+            bc = lambda v: jnp.broadcast_to(  # noqa: E731
+                jnp.asarray(v, jnp.float32), (SUB, KB)
+            )
+            q = [bc(P(cls._X0 + i)) for i in range(4)]
             return (*q, *trig_of(q[0], q[1]))
 
-        def step(state, u_eff):
+        def step_core(state, acts):
             q1, q2, qd1, qd2 = state[:4]
             trig = state[4:]
-            t1, t2 = pair_dup(u_eff, 0), pair_dup(u_eff, 1)
+            t1, t2 = acts
             # RK2 midpoint + rate saturation after each stage — mirrors
             # TwoLinkArmDynamics.step exactly
             qdd1, qdd2 = deriv(qd1, qd2, t1, t2, trig)
@@ -1134,10 +1327,67 @@ class _ArmFamily:
             state = (q1n, q2n, qd1n, qd2n, *trig_n)
             return state, state_cost(qd1n, qd2n, trig_n)
 
-        def final(state):
+        def final_core(state):
             return state_cost(state[2], state[3], state[4:])
 
+        return carry0, step_core, final_core
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        carry0, step_core, final_core = cls._core(
+            lambda c: p_ref[:, c:c + 1], scal_ref[0, 0], KB
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        even = (row % 2 == 0).astype(jnp.float32)
+
+        def pair_dup(u_eff, off):
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 2 + off:g * 2 + off + 1]
+                rows.append(r)
+                rows.append(r)
+            return jnp.concatenate(rows, axis=0)
+
+        def step(state, u_eff):
+            state, c = step_core(
+                state, [pair_dup(u_eff, 0), pair_dup(u_eff, 1)]
+            )
+            return state, even * c
+
+        def final(state):
+            return even * final_core(state)
+
         return carry0, step, final
+
+    @classmethod
+    def pack_planar(cls, dyn, cost, x0, sigma, plan):
+        x0 = jnp.broadcast_to(x0, (4,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        g = cost.goal.astype(jnp.float32)
+        A = plan.A
+        rep = lambda v: jnp.broadcast_to(  # noqa: E731
+            jnp.asarray(v, jnp.float32), (A,)
+        )
+        return jnp.stack(
+            [
+                jnp.broadcast_to(sigma, (A,)).astype(jnp.float32),
+                jnp.broadcast_to(cost.inv_s, (A,)).astype(jnp.float32),
+                rep(w[0]), rep(w[1]), rep(g[0]), rep(g[1]),
+                rep(dyn.A), rep(dyn.B), rep(dyn.D),
+                rep(dyn.G1), rep(dyn.G2),
+                rep(dyn.damping), rep(dyn.max_rate),
+                # FK link lengths from the COST (host-twin invariant — the
+                # kernel's l1/l2 feed only state_cost; see pack)
+                rep(cost.l1), rep(cost.l2),
+                rep(x0[0]), rep(x0[1]), rep(x0[2]), rep(x0[3]),
+            ],
+            axis=1,
+        )  # (A, NP)
+
+    @classmethod
+    def build_planar(cls, p_at, scal_ref, plan: 'PallasPlan'):
+        return cls._core(lambda c: p_at(0, c), scal_ref[0, 0], plan.KBp)
 
 
 class _Quadrotor3DFamily:
@@ -1187,28 +1437,15 @@ class _Quadrotor3DFamily:
         return jnp.stack(cols, axis=1)  # (SUB, NP)
 
     @classmethod
-    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
-        G, KB = plan.G, plan.KB
-        dt = scal_ref[0, 0]
-        col = lambda i: p_ref[:, i:i + 1]  # (SUB, 1): lane-only broadcasts  # noqa: E731
-        w = [col(cls._W0 + i) for i in range(8)]
-        gp = [col(cls._GP + i) for i in range(3)]
-        gv = [col(cls._GV + i) for i in range(3)]
-        im, grav = col(cls._IM), col(cls._GRAV)
-        ij = [col(cls._IJ + i) for i in range(3)]
-        cj = [col(cls._CJ + i) for i in range(3)]
-        # first-row-of-group mask: group g's cost rides row g·4 only
-        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
-        first = (row % 4 == 0).astype(jnp.float32)
-
-        def quad_dup(u_eff, off):
-            """(SUB, KB): all four rows of group g carry its action row
-            `off` (0=F, 1=τx, 2=τy, 3=τz)."""
-            rows = []
-            for g in range(G):
-                r = u_eff[g * 4 + off:g * 4 + off + 1]
-                rows.extend([r, r, r, r])
-            return jnp.concatenate(rows, axis=0)
+    def _core(cls, P, dt, KB: int):
+        """Layout-agnostic physics/cost closures (see the unicycle family's
+        _core for the P/acts conventions)."""
+        w = [P(cls._W0 + i) for i in range(8)]
+        gp = [P(cls._GP + i) for i in range(3)]
+        gv = [P(cls._GV + i) for i in range(3)]
+        im, grav = P(cls._IM), P(cls._GRAV)
+        ij = [P(cls._IJ + i) for i in range(3)]
+        cj = [P(cls._CJ + i) for i in range(3)]
 
         def derivs(q, v, om, F, TX, TY, TZ):
             # mirrors Quadrotor3DDynamics.derivs exactly (im/ij/cj packed
@@ -1242,18 +1479,18 @@ class _Quadrotor3DFamily:
             c = c + w[3] * (2.0 * (q[1] * q[1] + q[2] * q[2]))
             c = c + w[4] * dv[0] * dv[0] + w[5] * dv[1] * dv[1] + w[6] * dv[2] * dv[2]
             c = c + w[7] * (om[0] * om[0] + om[1] * om[1] + om[2] * om[2])
-            return first * c
+            return c
 
         def carry0():
-            return tuple(
-                jnp.broadcast_to(col(cls._X0 + i), (SUB, KB)) for i in range(13)
+            bc = lambda v: jnp.broadcast_to(  # noqa: E731
+                jnp.asarray(v, jnp.float32), (SUB, KB)
             )
+            return tuple(bc(P(cls._X0 + i)) for i in range(13))
 
-        def step(state, u_eff):
+        def step_core(state, acts):
             p, q = state[0:3], state[3:7]
             v, om = state[7:10], state[10:13]
-            F = quad_dup(u_eff, 0)
-            TX, TY, TZ = quad_dup(u_eff, 1), quad_dup(u_eff, 2), quad_dup(u_eff, 3)
+            F, TX, TY, TZ = acts
             # RK2 midpoint — mirrors Quadrotor3DDynamics.step exactly
             qd1, a1, wd1 = derivs(q, v, om, F, TX, TY, TZ)
             q_m = tuple(q[i] + 0.5 * dt * qd1[i] for i in range(4))
@@ -1273,10 +1510,67 @@ class _Quadrotor3DFamily:
             )
             return state, state_cost(state)
 
-        def final(state):
+        def final_core(state):
             return state_cost(state)
 
+        return carry0, step_core, final_core
+
+    @classmethod
+    def build(cls, p_ref, scal_ref, plan: 'PallasPlan'):
+        G, KB = plan.G, plan.KB
+        carry0, step_core, final_core = cls._core(
+            lambda c: p_ref[:, c:c + 1], scal_ref[0, 0], KB
+        )
+        # first-row-of-group mask: group g's cost rides row g·4 only
+        row = jax.lax.broadcasted_iota(jnp.int32, (SUB, KB), 0)
+        first = (row % 4 == 0).astype(jnp.float32)
+
+        def quad_dup(u_eff, off):
+            """(SUB, KB): all four rows of group g carry its action row
+            `off` (0=F, 1=τx, 2=τy, 3=τz)."""
+            rows = []
+            for g in range(G):
+                r = u_eff[g * 4 + off:g * 4 + off + 1]
+                rows.extend([r, r, r, r])
+            return jnp.concatenate(rows, axis=0)
+
+        def step(state, u_eff):
+            state, c = step_core(
+                state, [quad_dup(u_eff, off) for off in range(4)]
+            )
+            return state, first * c
+
+        def final(state):
+            return first * final_core(state)
+
         return carry0, step, final
+
+    @classmethod
+    def pack_planar(cls, dyn, cost, x0, sigma, plan):
+        x0 = jnp.broadcast_to(x0, (13,)).astype(jnp.float32)
+        w = cost.w.astype(jnp.float32)
+        g = cost.goal.astype(jnp.float32)
+        jx, jy, jz = dyn.inertia[0], dyn.inertia[1], dyn.inertia[2]
+        A = plan.A
+        rep = lambda v: jnp.broadcast_to(  # noqa: E731
+            jnp.asarray(v, jnp.float32), (A,)
+        )
+        cols = [
+            jnp.broadcast_to(sigma, (A,)).astype(jnp.float32),
+            jnp.broadcast_to(cost.inv_s, (A,)).astype(jnp.float32),
+        ]
+        cols += [rep(w[i]) for i in range(8)]
+        cols += [rep(g[i]) for i in range(3)]
+        cols += [rep(g[7 + i]) for i in range(3)]
+        cols += [rep(x0[i]) for i in range(13)]
+        cols += [rep(1.0 / dyn.mass), rep(dyn.gravity)]
+        cols += [rep(1.0 / jx), rep(1.0 / jy), rep(1.0 / jz)]
+        cols += [rep(jz - jy), rep(jx - jz), rep(jy - jx)]
+        return jnp.stack(cols, axis=1)  # (A, NP)
+
+    @classmethod
+    def build_planar(cls, p_at, scal_ref, plan: 'PallasPlan'):
+        return cls._core(lambda c: p_at(0, c), scal_ref[0, 0], plan.KBp)
 
 
 FAMILIES = {
@@ -1287,11 +1581,19 @@ FAMILIES = {
     )
 }
 
-# Families with a planar-layout (dims-on-tiles) one-pass kernel. Only
-# families whose dynamics are elementwise per action dim qualify — the
-# planar kernel integrates each dim on its own (SUB, KB) tile and couples
-# dims solely through the scalar cost accumulator.
+# Families with a planar-layout (dims-on-tiles) one-pass kernel whose
+# dynamics are elementwise per action dim — each dim integrates on its own
+# (SUB, KB) tile; planar pays only when SUB % A != 0 (sublane pad waste).
 PLANAR_FAMILIES = ("lti", "lti-obstacle")
+
+# COUPLED families with a state-planar one-pass kernel (round 5): rows are
+# whole rollouts, the per-component state tiles couple elementwise across
+# tiles, and the A effective-action tiles arrive as a list — eliminating
+# the row-packed layout's A× group-duplication of every dynamics/cost op
+# (the reason the tiled SCAN beat the fused quadrotor3d kernel in the
+# round-5 table). Planar always pays here; extended as each family gains
+# build_planar/pack_planar.
+COUPLED_PLANAR_FAMILIES = ("unicycle", "quadrotor", "arm", "quadrotor3d")
 
 _BUILTIN_FAMILIES = frozenset(FAMILIES)
 
@@ -1342,6 +1644,17 @@ def register_family(cls):
 
     Optional: ``plan_extra(cost) -> int`` — a static per-cost size (e.g. an
     obstacle count) stored as ``plan.extra`` and consumed by ``np_cols``.
+
+    Optional (state-planar form): ``pack_planar(dyn, cost, x0, sigma, plan)
+    -> (A, NP) f32`` (cols 0/1 per-dim σ/Σ⁻¹, family scalars replicated
+    across rows) + ``build_planar(p_at, scal_ref, plan) -> (carry0, step,
+    final)`` where ``step(state, acts)`` takes the A effective-action
+    tiles as a LIST and returns the UNMASKED (SUB, plan.KBp) cost — rows
+    are whole rollouts, no group duplication/masking. Registering the name
+    in ``COUPLED_PLANAR_FAMILIES`` (built-ins) opts the one-pass core into
+    it; the built-in coupled families implement both layouts from one
+    layout-agnostic ``_core`` so the physics cannot drift (round 5,
+    docs/kernels.md "State-planar for COUPLED families").
 
     Overriding a built-in family name raises ValueError; re-registering a
     user family (module re-import) silently replaces the previous class.
@@ -2223,50 +2536,33 @@ def _planar_draw(t, tile, dim: int, KB: int, anti: bool, testmode: bool, sid):
 
 def _planar_rollout_S(tile_i, seeds, scal_ref, u_at, p_at, plan: PallasPlan,
                       eps_scrs):
-    """Planar rollout-cost phase: integrate 8·KB rollouts of an
-    elementwise-per-dim family over T, staging each dim's consumed ε in its
-    VMEM buffer `eps_scrs[dim]` (Tc, SUB, KB). Returns the K-masked
-    (SUB, KB) cost tile — rows are whole rollouts, so no group reduction.
-    `u_at(t, i)` yields the step-t dim-i nominal action (scalar or (1, 1)
-    array — the single-robot kernel reads SMEM scalars, the fleet kernel
-    slices a VMEM table); `p_at(i, col)` yields the per-dim parameters."""
-    A, KB, M = plan.A, plan.KBp, plan.extra
+    """Planar rollout-cost phase: integrate 8·KB rollouts over T with rows =
+    WHOLE rollouts, staging each dim's consumed ε in its VMEM buffer
+    `eps_scrs[dim]` (Tc, SUB, KB). Returns the K-masked (SUB, KB) cost tile
+    — no group reduction (and for coupled families no group DUPLICATION:
+    the dynamics run once per rollout instead of the row-packed form's A×,
+    round 5). Generic over the family: per step the A noise tiles are drawn
+    in dim order 0..A−1 (the PRNG stream is layout-defined, not
+    family-defined), the generic λ·uᵀΣ⁻¹ε control term accumulates here,
+    and the family's `build_planar` closures supply the state integration +
+    state cost on per-component (SUB, KB) tiles. `u_at(t, i)` yields the
+    step-t dim-i nominal action (scalar or (1, 1) array — the single-robot
+    kernel reads SMEM scalars, the fleet kernel slices a windowed SMEM
+    view); `p_at(row, col)` reads the (A, NP) parameter table."""
+    A, KB = plan.A, plan.KBp
+    fam = FAMILIES[plan.family]
     seed0, seed1, k_true = seeds
     _seed(seed0, seed1, tile_i)
-    dt = scal_ref[0, 0]
-    hdt2 = 0.5 * dt * dt
     lam = scal_ref[0, 1]
     sid = _kernel_sid(seed0, plan)
-    obstacle = plan.family == "lti-obstacle"
 
     sig = [p_at(i, _P_SIGMA) for i in range(A)]
     lam_invs = [lam * p_at(i, _P_INVS) for i in range(A)]
-    wq = [p_at(i, 2) for i in range(A)]
-    wqd = [p_at(i, 3) for i in range(A)]
-    gq = [p_at(i, 4) for i in range(A)]
-    gqd = [p_at(i, 5) for i in range(A)]
-
-    def state_cost(q, qd):
-        c = jnp.zeros((SUB, KB), jnp.float32)
-        for i in range(A):
-            dq, dqd = q[i] - gq[i], qd[i] - gqd[i]
-            c = c + wq[i] * dq * dq + wqd[i] * dqd * dqd
-        return c
-
-    def obstacle_cost(q):
-        pen = p_at(0, 8)
-        hits = jnp.zeros((SUB, KB), jnp.float32)
-        for m in range(M):
-            d2 = jnp.zeros((SUB, KB), jnp.float32)
-            for i in range(A):
-                d = q[i] - p_at(i, 9 + 2 * m)
-                d2 = d2 + d * d
-            hits = hits + (d2 < p_at(0, 10 + 2 * m)).astype(jnp.float32)
-        return pen * hits
+    carry0, fam_step, fam_final = fam.build_planar(p_at, scal_ref, plan)
 
     def body(t, carry):
-        q, qd, acc, e_prev = carry
-        q2, qd2, e2 = [], [], []
+        state, acc, e_prev = carry
+        acts, e2 = [], []
         for i in range(A):
             n = _planar_draw(t, tile_i, i, KB, plan.anti, plan.testmode, sid)
             if plan.ou:
@@ -2277,28 +2573,18 @@ def _planar_rollout_S(tile_i, seeds, scal_ref, u_at, p_at, plan: PallasPlan,
             eps = sig[i] * e
             eps_scrs[i][t] = eps[:, : KB // 2] if plan.anti else eps
             u_i = u_at(t, i)
-            ue = u_i + eps
-            qi = q[i] + dt * qd[i] + hdt2 * ue
-            qdi = qd[i] + dt * ue
             acc = acc + (lam_invs[i] * u_i) * eps
-            q2.append(qi)
-            qd2.append(qdi)
+            acts.append(u_i + eps)
             e2.append(e)
-        q2, qd2 = tuple(q2), tuple(qd2)
-        acc = acc + state_cost(q2, qd2)
-        if obstacle:
-            acc = acc + obstacle_cost(q2)
-        return q2, qd2, acc, tuple(e2)
+        state, c_state = fam_step(state, acts)
+        acc = acc + c_state
+        return state, acc, tuple(e2)
 
     zero = jnp.zeros((SUB, KB), jnp.float32)
-    q0 = tuple(jnp.broadcast_to(jnp.asarray(p_at(i, 6), jnp.float32), (SUB, KB)) for i in range(A))
-    qd0 = tuple(jnp.broadcast_to(jnp.asarray(p_at(i, 7), jnp.float32), (SUB, KB)) for i in range(A))
-    q, qd, acc, _ = jax.lax.fori_loop(
-        0, plan.T, body, (q0, qd0, zero, tuple(zero for _ in range(A)))
+    state, acc, _ = jax.lax.fori_loop(
+        0, plan.T, body, (carry0(), zero, tuple(zero for _ in range(A)))
     )
-    acc = acc + state_cost(q, qd)  # terminal double-count (reference parity)
-    if obstacle:
-        acc = acc + obstacle_cost(q)
+    acc = acc + fam_final(state)  # terminal double-count (reference parity)
     return jnp.where(_planar_lane_rank(plan, tile_i) < k_true, acc, jnp.float32(BIG))
 
 
@@ -2374,10 +2660,11 @@ def _planar_onepass_kernel(
 def _planar_pack(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
                  softmin_lambda=None, ou_beta: float = 0.0):
     """SMEM-side packing for the planar kernels: same ints/scal words as
-    :func:`pack_inputs`, U as a (T, A) scalar table, params as (A, NP)
-    per-dim rows (obstacle: cols 8 = penalty, 9+2m = center_m[dim],
-    10+2m = radius_m² — scalars replicated across rows where not per-dim)."""
-    A, T = plan.A, plan.T
+    :func:`pack_inputs`, U as a (T, A) scalar table, params as the family's
+    (A, NP) per-dim rows (`pack_planar` — cols 0/1 MUST be per-dim σ/Σ⁻¹,
+    family scalars replicated across rows at the same column indices the
+    row-packed pack uses)."""
+    T = plan.T
     kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
     seeds = jax.lax.bitcast_convert_type(kd[:2], jnp.int32)
     ints = jnp.concatenate([seeds, jnp.array([plan.K, T], jnp.int32)]).reshape(1, 4)
@@ -2393,22 +2680,7 @@ def _planar_pack(dyn, cost, x0, U, key, sigma, plan: PallasPlan,
         ]
     ).reshape(1, 5)
     u_sm = U.astype(jnp.float32)  # (T, A)
-
-    base = cost.base if plan.family == "lti-obstacle" else cost
-    w = base.w.astype(jnp.float32)
-    g = base.goal.astype(jnp.float32)
-    x0 = jnp.broadcast_to(x0, (2 * A,)).astype(jnp.float32)
-    perdim = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32), (A,))  # noqa: E731
-    cols = [
-        perdim(sigma), perdim(base.inv_s),
-        w[:A], w[A:], g[:A], g[A:], x0[:A], x0[A:],
-    ]
-    if plan.family == "lti-obstacle":
-        cols.append(perdim(cost.penalty))
-        for m in range(plan.extra):
-            cols.append(cost.centers[m].astype(jnp.float32))
-            cols.append(perdim(cost.radii[m] ** 2))
-    p_sm = jnp.stack(cols, axis=1)  # (A, NP)
+    p_sm = FAMILIES[plan.family].pack_planar(dyn, cost, x0, sigma, plan)
     return ints, scal, u_sm, p_sm
 
 

@@ -247,6 +247,37 @@ for k in (0, 5, K_p - 1):
 
 from mppi_gpu_tpu.ops.softmin import softmin_weights as _smw
 
+
+def _check_planar_fused(tag, dyn_f, cost_f, x0_f, U_f, sig_f, lam_f, K_f, ks):
+    """Fused-core check for the round-5 STATE-PLANAR coupled families: the
+    planar stream differs from kernels A/B's (and Kpad_p != Kpad), so the
+    fused core is verified by its own exact dump-replay oracle — the planar
+    dump kernel replays the EXECUTED on-chip stream; scan-rollout of dumped
+    ε columns must reproduce the kernel's S, and the oracle einsum must
+    reproduce ΔU (the same pattern as the lti planar flagship check)."""
+    fam_f = pr.family_for(dyn_f, cost_f)
+    plan_f = pr.make_plan(
+        K_f, U_f.shape[0], U_f.shape[1], family=fam_f,
+        extra=pr._plan_extra(pr.FAMILIES[fam_f], cost_f),
+    )
+    assert plan_f.planar, (tag, plan_f)
+    Sf, dUf = pr.pallas_fused_solve_core(
+        dyn_f, cost_f, x0_f, U_f, key, sig_f, lam_f, K=K_f
+    )
+    eps_f = pr.pallas_noise_dump(dyn_f, cost_f, x0_f, U_f, key, sig_f, K=K_f)
+    for k in ks:
+        S_ref = float(rollout_costs(dyn_f, cost_f, x0_f, U_f, eps_f[:, k:k + 1, :])[0])
+        rel = abs(float(Sf[k]) - S_ref) / max(1.0, abs(S_ref))
+        assert rel < 2e-4, f"{tag} planar replay k={k}: {float(Sf[k])} vs {S_ref}"
+    sm_f = _smw(Sf, lam_f)
+    dU_or = jnp.einsum("tka,k->ta", eps_f, sm_f.weights[:K_f])
+    rel = float(
+        jnp.max(jnp.abs(dUf - dU_or)) / (jnp.max(jnp.abs(dU_or)) + 1e-30)
+    )
+    assert rel < 1e-3, f"{tag} planar dU vs oracle einsum: rel={rel}"
+    return Sf, dUf
+
+
 sm_p = _smw(S_p, jnp.float32(0.8))
 dU_p = pr.pallas_weighted_update(dyn_p, cost_p, x0_p, U_p, key, sig_p, sm_p.weights, K=K_p)
 Sf_p, dUf_p = pr.pallas_fused_solve_core(
@@ -322,10 +353,10 @@ for k in (0, 5, K_q - 1):
     rel = abs(float(S_q[k]) - S_ref) / max(1.0, abs(S_ref))
     assert rel < 2e-4, f"quadrotor k={k}: kernel {float(S_q[k])} scan {S_ref} rel={rel}"
 
-Sf_q, dUf_q = pr.pallas_fused_solve_core(
-    dyn_q, cost_q, x0_q, U_q, key, sig_q, jnp.float32(0.1), K=K_q
+Sf_q, dUf_q = _check_planar_fused(
+    "quadrotor", dyn_q, cost_q, x0_q, U_q, sig_q, jnp.float32(0.1), K_q,
+    (0, 5, K_q - 1),
 )
-assert jnp.allclose(Sf_q, S_q, rtol=1e-6), "quadrotor fused S mismatch"
 
 cfg_q = MPPIConfig(
     env="quadrotor", samples=K_q, state_dim=6, action_dim=2, horizon=T_q,
@@ -378,10 +409,10 @@ for k in (0, 5, K_q3 - 1):
     rel = abs(float(S_q3[k]) - S_ref) / max(1.0, abs(S_ref))
     assert rel < 2e-4, f"quadrotor3d k={k}: kernel {float(S_q3[k])} scan {S_ref} rel={rel}"
 
-Sf_q3, dUf_q3 = pr.pallas_fused_solve_core(
-    dyn_q3, cost_q3, x0_q3, U_q3, key, sig_q3, jnp.float32(0.3), K=K_q3
+Sf_q3, dUf_q3 = _check_planar_fused(
+    "quadrotor3d", dyn_q3, cost_q3, x0_q3, U_q3, sig_q3, jnp.float32(0.3),
+    K_q3, (0, K_q3 - 1),
 )
-assert jnp.allclose(Sf_q3, S_q3, rtol=1e-6), "quadrotor3d fused S mismatch"
 
 cfg_q3 = MPPIConfig(
     env="quadrotor3d", samples=K_q3, state_dim=13, action_dim=4, horizon=T_q3,
@@ -567,10 +598,10 @@ for k in (0, K_u - 1):
     S_ref = float(rollout_costs(dyn_u, cost_u, x0_u, U_u, eps_k[:, None, :])[0])
     rel = abs(float(S_u[k]) - S_ref) / max(1.0, abs(S_ref))
     assert rel < 1e-4, f"unicycle k={k}: rel={rel}"
-Sf_u, dUf_u = pr.pallas_fused_solve_core(
-    dyn_u, cost_u, x0_u, U_u, key, sig_u, jnp.float32(0.7), K=K_u
+Sf_u, dUf_u = _check_planar_fused(
+    "unicycle", dyn_u, cost_u, x0_u, U_u, sig_u, jnp.float32(0.7), K_u,
+    (0, K_u - 1),
 )
-assert jnp.allclose(Sf_u, S_u, rtol=1e-5), "unicycle fused S != kernel A"
 from mppi_gpu_tpu.controller import resolve_backend as _rb
 assert _rb("auto", dyn_u, cost_u, platform="tpu") == "pallas"
 
@@ -601,10 +632,10 @@ for k in (0, K_m - 1):
     S_ref = float(rollout_costs(dyn_m, cost_m, x0_m, U_m, eps_k[:, None, :])[0])
     rel = abs(float(S_m[k]) - S_ref) / max(1.0, abs(S_ref))
     assert rel < 1e-4, f"arm k={k}: rel={rel}"
-Sf_m, dUf_m = pr.pallas_fused_solve_core(
-    dyn_m, cost_m, x0_m, U_m, key, sig_m, jnp.float32(0.4), K=K_m
+Sf_m, dUf_m = _check_planar_fused(
+    "arm", dyn_m, cost_m, x0_m, U_m, sig_m, jnp.float32(0.4), K_m,
+    (0, K_m - 1),
 )
-assert jnp.allclose(Sf_m, S_m, rtol=1e-5), "arm fused S != kernel A"
 assert _rb("auto", dyn_m, cost_m, platform="tpu") == "pallas"
 
 print("PALLAS_TPU_OK")

@@ -220,12 +220,17 @@ def test_arm_fused_family_matches_oracle():
         np.asarray(dU), np.asarray(dU_oracle), rtol=2e-4, atol=1e-6
     )
 
+    # the fused core rides the round-5 STATE-PLANAR plan for this coupled
+    # family — its stream is the planar one, so the oracle noise switches
+    assert plan.planar
+    eps_p = pr.planar_fake_noise_tensor(plan, sigma, key=key)[:, :K, :]
     Sf, dUf = pr.pallas_fused_solve_core(
         dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
     )
-    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(S_oracle), rtol=5e-5)
+    Sp_oracle = rollout_costs(dyn, cost, x0, U, eps_p)
+    np.testing.assert_allclose(np.asarray(Sf[:K]), np.asarray(Sp_oracle), rtol=5e-5)
     smf = softmin_weights(Sf, lam)
-    dUf_oracle = jnp.einsum("tka,k->ta", eps_ref[:, :K, :], smf.weights[:K])
+    dUf_oracle = jnp.einsum("tka,k->ta", eps_p, smf.weights[:K])
     np.testing.assert_allclose(
         np.asarray(dUf), np.asarray(dUf_oracle), rtol=2e-4, atol=1e-6
     )

@@ -101,10 +101,18 @@ def test_per_robot_goals_rejected_for_builtin_target_costs():
 
 
 def _fleet_vs_single_pallas(cfg, B, goals=None):
-    """Fleet fused kernel vs B independent single-robot fused solves with the
-    same keys: both run the same phase bodies and seed from the key the same
-    way, so per-robot results must agree to float tolerance."""
+    """Fleet fused kernel vs a per-robot reference with the same keys.
+
+    Row-packed families: the reference is B independent single-robot
+    interpret solves (both run the same phase bodies and seed identically).
+    PLANAR-plan families (A=3 lti + the round-5 coupled set): the fleet
+    rides the planar fleet kernel, whose stream differs from the
+    single-robot interpret controller's kernels A/B — the reference is the
+    scan-oracle solve fed each robot's planar host-twin noise."""
     import dataclasses as dc
+
+    from mppi_gpu_tpu.controller import mppi_solve_deterministic
+    from mppi_gpu_tpu.ops import pallas_rollout as pr
 
     ctrl_b = BatchedMPPIController(
         cfg, B, goals=goals, rollout_backend="pallas-interpret", testmode=True
@@ -119,13 +127,30 @@ def _fleet_vs_single_pallas(cfg, B, goals=None):
     assert res_b.action.shape == (B, cfg.action_dim)
     assert res_b.info.costs.shape == (B, cfg.samples)
 
+    fam = pr.family_for(ctrl_b.dynamics, ctrl_b.cost)
+    plan = pr.make_plan(
+        cfg.samples, cfg.horizon, cfg.action_dim, cfg.antithetic,
+        cfg.noise_beta, testmode=True, family=fam,
+        extra=pr._plan_extra(pr.FAMILIES[fam], ctrl_b.cost),
+    )
     for i in range(B):
-        ctrl_1 = MPPIController(
-            cfg, rollout_backend="pallas-interpret", testmode=True
-        )
+        cost_i = ctrl_b.cost
         if goals is not None:
-            ctrl_1.cost = dc.replace(ctrl_1.cost, goal=goals[i])
-        res_1 = ctrl_1.solve(xs[i], Us[i], keys[i])
+            cost_i = dc.replace(cost_i, goal=goals[i])
+        if plan.planar:
+            eps = pr.planar_fake_noise_tensor(
+                plan, ctrl_b.sigma, ou_beta=cfg.noise_beta, key=keys[i]
+            )[:, : cfg.samples, :]
+            res_1 = mppi_solve_deterministic(
+                ctrl_b.dynamics, cost_i, xs[i], Us[i], eps,
+                ctrl_b.lambda_, ctrl_b.max_a, clamp=cfg.clamp_action,
+            )
+        else:
+            ctrl_1 = MPPIController(
+                cfg, cost=cost_i, rollout_backend="pallas-interpret",
+                testmode=True,
+            )
+            res_1 = ctrl_1.solve(xs[i], Us[i], keys[i])
         np.testing.assert_allclose(
             np.asarray(res_b.action[i]), np.asarray(res_1.action),
             rtol=1e-4, atol=1e-6,

@@ -503,7 +503,10 @@ def test_interpret_testmode_quadrotor_fused_solve():
     dyn, cost, x0, U, sigma = _setup_quadrotor(T, K)
     key, lam = jax.random.key(5), jnp.float32(0.3)
     plan = pr.make_plan(K, T, 2, testmode=True, family="quadrotor")
-    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    # the fused core rides the round-5 STATE-PLANAR plan for this coupled
+    # family — the oracle consumes the planar host-twin stream
+    assert plan.planar
+    eps_ref = pr.planar_fake_noise_tensor(plan, sigma, key=key)
     Sf, dUf = pr.pallas_fused_solve_core(
         dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
     )
@@ -589,7 +592,9 @@ def test_interpret_testmode_quadrotor3d_fused_solve():
     dyn, cost, x0, U, sigma = _setup_quadrotor3d(T)
     key, lam = jax.random.key(7), jnp.float32(0.3)
     plan = pr.make_plan(K, T, 4, testmode=True, family="quadrotor3d")
-    eps_ref = pr.fake_noise_tensor(plan, sigma, key=key)
+    # round-5 state-planar plan — the oracle consumes the planar twin stream
+    assert plan.planar
+    eps_ref = pr.planar_fake_noise_tensor(plan, sigma, key=key)
     Sf, dUf = pr.pallas_fused_solve_core(
         dyn, cost, x0, U, key, sigma, lam, K=K, testmode=True, interpret=True
     )
