@@ -223,6 +223,22 @@ elif scenario == "onepass-planar":
         onepass=True,
         cfg=make_cfg(2 * 96, 7, a),
     )
+elif scenario == "onepass-unicycle":
+    # a COUPLED family through the round-5 STATE-planar one-pass core,
+    # composed under the mesh: same associative combine, rows = whole
+    # rollouts, no group duplication (docs/kernels.md "State-planar")
+    check(
+        2 * 96, 6, 2, False, 3,
+        jnp.asarray([0.1, -0.2, 0.4], jnp.float32),
+        jnp.broadcast_to(jnp.asarray([0.6, 0.1], jnp.float32), (6, 2)),
+        onepass=True,
+        cfg=MPPIConfig(
+            env="unicycle", samples=2 * 96, state_dim=3, action_dim=2,
+            horizon=6, dt=0.05, lambda_=0.3, noise=(0.6, 1.0),
+            init_act=(0.0, 0.0), max_a=(1.5, 2.5), goal=(2.0, 1.0, 0.0),
+            cost_type="unicycle", cost_w=(4.0, 1.0),
+        ),
+    )
 elif scenario == "fleet":
     # fleet × mesh × fused fleet kernel: R robots sharded as whole robots
     # per chip (parallel/fleet.py), each shard running the fleet kernel for

@@ -117,7 +117,7 @@ def test_sharded_rejects_uneven_K(mesh8):
         # 2-device mesh (2 because ≥4 interpreter device threads starve the
         # io_callback pool — see _sharded_pallas_check.py docstring); the
         # row-packed, antithetic, and planar kernel forms
-        "onepass-iid", "onepass-anti", "onepass-planar",
+        "onepass-iid", "onepass-anti", "onepass-planar", "onepass-unicycle",
     ],
 )
 @pytest.mark.mesh_subprocess
