@@ -718,7 +718,9 @@ def _roofline(family: str, K: int, T: int, antithetic: bool, backend: str,
             "pct": round(100.0 * gbps / V5E_HBM_GBPS, 1),
             "achieved": f"{gbps:.0f} GB/s",
         }
-    from mppi_gpu_tpu.ops.pallas_rollout import SUB, make_plan
+    from mppi_gpu_tpu.ops.pallas_rollout import (
+        COUPLED_PLANAR_FAMILIES, SUB, make_plan,
+    )
 
     plan = make_plan(K, T, A, antithetic, family=fam,
                      extra=(2 if fam == "lti-obstacle" else 0))
@@ -730,9 +732,17 @@ def _roofline(family: str, K: int, T: int, antithetic: bool, backend: str,
     if not plan.onepass:
         normals *= 2  # two-pass regenerates the stream in kernel B
     poly, transc = FAMILY_STEP_UNITS[fam]
+    body_units = poly + transc * TRANSC_UNITS
+    if plan.planar and fam in COUPLED_PLANAR_FAMILIES:
+        # state-planar (round 5): the hand counts describe the physics per
+        # ROLLOUT-step (they were per tile element in the row-packed form,
+        # where each of a group's A rows redundantly computed the whole
+        # step); planar runs the physics once per rollout while elems
+        # counts (rollout × dim) — so per-element work is 1/A of the count
+        body_units /= A
     noise_units = normals * NOISE_UNITS
     work_units = (
-        elems * (poly + transc * TRANSC_UNITS)
+        elems * body_units
         + (normals if plan.onepass else elems) * UPDATE_UNITS
     )
     # The VPU dual-issues: the transcendental-heavy noise stream and the
