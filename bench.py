@@ -694,15 +694,26 @@ def _roofline(family: str, K: int, T: int, antithetic: bool, backend: str,
         # K on full tiles the binding roof is usually VPU issue — noise
         # (threefry+erfinv) plus the vmapped dynamics/cost body, which XLA
         # runs as separate fusions (no dual-issue overlap credit)
+        from mppi_gpu_tpu.ops.pallas_rollout import COUPLED_PLANAR_FAMILIES
+
         Keff = K // 2 if antithetic else K
         Kp = -(-Keff // 1024) * 1024 * (2 if antithetic else 1)
         normals = float(T) * A * (Kp // 2 if antithetic else Kp)
         gb = 3.0 * 4 * T * Kp * A / 1e9
         hbm_ms = gb / V5E_HBM_GBPS * 1e3
         poly, transc = FAMILY_STEP_UNITS[fam]
+        body = poly + transc * TRANSC_UNITS
+        if fam in COUPLED_PLANAR_FAMILIES:
+            # coupled families' hand counts are the physics per ROLLOUT-step
+            # (per tile element in the row-packed kernel, where each of a
+            # group's A rows redundantly computed the whole step); the
+            # vmapped scan body runs the physics once per rollout, so the
+            # per-(rollout, dim) work is 1/A of the count — without this the
+            # quadrotor3d scan row read ">100 % of roof" (model, not magic)
+            body /= A
         vpu_ms = (
             normals * SCAN_NOISE_UNITS
-            + float(T) * Kp * A * (poly + transc * TRANSC_UNITS)
+            + float(T) * Kp * A * body
         ) / V5E_VPU_OPS * 1e3
         if vpu_ms >= hbm_ms:
             return {
