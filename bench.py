@@ -301,12 +301,30 @@ def bench_floor(K: int, T: int, backend: str, iters: int,
     if ctrl.rollout_backend == "pallas":
         from mppi_gpu_tpu.ops import pallas_rollout as pr
 
-        def costs_only(key):
-            S = pr.pallas_rollout_costs(
-                ctrl.dynamics, ctrl.cost, x, U0, key, ctrl.sigma,
-                K=K, antithetic=antithetic, ou_beta=cfg.noise_beta,
-            )
-            return jnp.sum(S[:K])
+        fam = pr.family_for(ctrl.dynamics, ctrl.cost)
+        plan = pr.make_plan(
+            K, T, A, antithetic, cfg.noise_beta, family=fam,
+            extra=pr._plan_extra(pr.FAMILIES[fam], ctrl.cost),
+        )
+        if plan.planar:
+            # planar plans get their TRUE floor: the costs-only PLANAR
+            # sweep (same stream, same staging, no softmin/update) —
+            # kernel A would be the wrong geometry (row-packed) and reads
+            # as "beats two-kernel A" instead of a utilization
+            def costs_only(key):
+                S = pr.pallas_planar_rollout_costs(
+                    ctrl.dynamics, ctrl.cost, x, U0, key, ctrl.sigma,
+                    K=K, antithetic=antithetic, ou_beta=cfg.noise_beta,
+                )
+                return jnp.sum(S[:K])
+        else:
+
+            def costs_only(key):
+                S = pr.pallas_rollout_costs(
+                    ctrl.dynamics, ctrl.cost, x, U0, key, ctrl.sigma,
+                    K=K, antithetic=antithetic, ou_beta=cfg.noise_beta,
+                )
+                return jnp.sum(S[:K])
     else:
 
         def costs_only(key):

@@ -2735,6 +2735,65 @@ def _planar_fused_solve(
     return S, dU, bn[0, 0], bn[0, 1]
 
 
+def _planar_costs_kernel(
+    ints_ref,   # SMEM (1, 4) int32: [seed0, seed1, K, T]
+    scal_ref,   # SMEM (1, 5) f32
+    u_sm,       # SMEM (T, A) f32
+    p_sm,       # SMEM (A, NP) f32
+    s_ref,      # out VMEM (SUB, KB) blocks: per-rollout costs
+    *eps_scrs,  # A × VMEM (Tc, SUB, KBp) ε stages (written like the solve's)
+    plan: PallasPlan,
+):
+    """Costs-only planar sweep — the one-pass solve MINUS the online
+    softmin/update: rollout + ε staging only. Exists as the planar rows'
+    MEASURED FLOOR program (bench.bench_floor): the solve contains strictly
+    more work than this, so p50(floor)/p50(solve) is a true utilization for
+    planar plans (kernel A is the wrong geometry — row-packed, different
+    stream — and reads as 'beats two-kernel A')."""
+    i = pl.program_id(0)
+    s_ref[:, :] = _planar_rollout_S(
+        i, (ints_ref[0, 0], ints_ref[0, 1], ints_ref[0, 2]), scal_ref,
+        lambda t, d: u_sm[t, d], lambda d, c: p_sm[d, c], plan, eps_scrs,
+    )
+
+
+def pallas_planar_rollout_costs(
+    dyn, cost, x0, U, key, sigma, *, K: int, antithetic: bool = False,
+    ou_beta: float = 0.0, testmode: bool = False, interpret: bool = False,
+):
+    """Rank-ordered (Kpad_p,) planar rollout costs (floor program — see
+    :func:`_planar_costs_kernel`). Requires a planar-capable plan."""
+    fam_name = family_for(dyn, cost)
+    plan = make_plan(
+        K, U.shape[0], U.shape[1], antithetic, ou_beta, testmode,
+        family=fam_name, extra=_plan_extra(FAMILIES[fam_name], cost),
+    )
+    if not plan.planar:
+        raise ValueError(f"family '{fam_name}' has no planar plan here")
+    ints, scal, u_sm, p_sm = _planar_pack(
+        dyn, cost, x0, U, key, sigma, plan, ou_beta=ou_beta
+    )
+    S = pl.pallas_call(
+        functools.partial(_planar_costs_kernel, plan=plan),
+        grid=(plan.grid_p,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 4,
+        out_specs=pl.BlockSpec(
+            (SUB, plan.KBp), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((SUB, plan.Kpg_p), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((plan.Tc, SUB, plan.stageKB_p), jnp.float32)
+            for _ in range(plan.A)
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=_INTERPRET if interpret else False,
+    )(ints, scal, u_sm, p_sm)
+    S = S.reshape(plan.Kpad_p)
+    if plan.anti:
+        S = S[_anti_perm(plan.Kpad_p, plan.KBp)]
+    return S
+
+
 def _planar_noise_dump_kernel(
     ints_ref,   # SMEM (1, 4)
     scal_ref,   # SMEM (1, 5)

@@ -946,3 +946,48 @@ def test_rowpacked_unnormalized_form_matches_normalized():
     np.testing.assert_allclose(
         np.asarray(dUr) / float(eta), np.asarray(dU1), rtol=1e-5, atol=1e-7
     )
+
+
+def test_planar_costs_only_floor_program():
+    """The planar rows' measured-floor program (bench.bench_floor): the
+    costs-only planar sweep must reproduce the planar host-twin oracle
+    exactly and mask padded ranks with BIG — it IS the solve's rollout
+    phase, minus softmin/update."""
+    from mppi_gpu_tpu.models.unicycle import UnicycleDynamics
+    from mppi_gpu_tpu.ops.cost import UnicycleWaypointCost
+
+    K, T = 280, 9
+    dyn = UnicycleDynamics.create(0.05)
+    cost = UnicycleWaypointCost(
+        w=jnp.asarray([4.0, 1.0]), goal=jnp.asarray([2.0, 1.0, 0.0]),
+        lambda_=jnp.float32(0.3), inv_s=jnp.asarray([1.0, 0.7]),
+    )
+    x0 = jnp.asarray([0.1, -0.2, 0.4])
+    t = jnp.arange(T, dtype=jnp.float32)
+    U = jnp.stack([0.5 + 0.2 * jnp.sin(0.3 * t), 0.3 * jnp.cos(0.5 * t)], axis=1)
+    sigma = jnp.asarray([0.6, 1.0])
+    key = jax.random.key(11)
+    plan = pr.make_plan(K, T, 2, testmode=True, family="unicycle")
+    assert plan.planar
+    eps_ref = pr.planar_fake_noise_tensor(plan, sigma, key=key)
+    S = pr.pallas_planar_rollout_costs(
+        dyn, cost, x0, U, key, sigma, K=K, testmode=True, interpret=True
+    )
+    S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S[:K]), np.asarray(S_oracle), rtol=5e-5)
+    assert np.all(np.asarray(S[K:]) > 1e37)
+    # non-planar family -> clean error
+    from mppi_gpu_tpu.models.pendulum import PendulumDynamics
+    from mppi_gpu_tpu.ops.cost import PendulumSwingupCost
+
+    dyn_p = PendulumDynamics.create(0.05)
+    cost_p = PendulumSwingupCost(
+        w_angle=jnp.float32(8.0), w_vel=jnp.float32(0.08),
+        lambda_=jnp.float32(0.2), inv_s=jnp.asarray([1.0]),
+    )
+    with pytest.raises(ValueError, match="no planar plan"):
+        pr.pallas_planar_rollout_costs(
+            dyn_p, cost_p, jnp.asarray([2.5, 0.0]),
+            jnp.zeros((T, 1), jnp.float32), key, jnp.asarray([1.0]), K=K,
+            testmode=True, interpret=True,
+        )
