@@ -1108,11 +1108,12 @@ def _markdown_table(results: list[dict], T: int) -> str:
         if "floor_meas_ms" not in r:
             floor = "—"
         elif r["pct_of_floor"] > 112.0:
-            # the floor program (two-kernel kernel A) has a DIFFERENT
-            # geometry than this row's shipped one-pass planar/antithetic
-            # path (row-packed sublane waste, unmirrored noise), so the
-            # solve legitimately beats it — report the fact, not a bogus %
-            floor = f"beats two-kernel A ({r['floor_meas_ms']:.2f} ms)"
+            # the solve beats its own costs-only floor program by more than
+            # measurement noise — observed only on ANTITHETIC rows, where
+            # the standalone floor program compiles measurably slower than
+            # the same sweep inside the solve (see docs/kernels.md "floor +
+            # roofline columns"); report the fact, not a bogus %
+            floor = f"solve beats floor program ({r['floor_meas_ms']:.2f} ms)"
         else:
             floor = f"{r['pct_of_floor']:.0f}% of {r['floor_meas_ms']:.2f} ms"
         lines.append(
