@@ -138,6 +138,9 @@ def _fleet_vs_single_pallas(cfg, B, goals=None):
         if goals is not None:
             cost_i = dc.replace(cost_i, goal=goals[i])
         if plan.planar:
+            # the deterministic oracle below replicates ONE iteration; pin
+            # opt_iters=1 in callers (the iterated path has its own test)
+            assert cfg.opt_iters == 1, "planar fleet oracle assumes opt_iters=1"
             eps = pr.planar_fake_noise_tensor(
                 plan, ctrl_b.sigma, ou_beta=cfg.noise_beta, key=keys[i]
             )[:, : cfg.samples, :]
@@ -177,8 +180,13 @@ def test_fleet_pallas_per_robot_goals():
 
 
 def test_fleet_pallas_quadrotor3d():
-    """Largest family through the fleet kernel: A=4 (G=2), 13 state tiles."""
-    cfg = load_config("configs/quadrotor3d.yaml").replace(samples=300, horizon=10)
+    """Largest family through the fleet kernel: A=4 (G=2), 13 state tiles.
+    opt_iters pinned to 1 (the yaml ships opt-iters 2 since round 5): the
+    subject is the fleet kernel vs the per-robot oracle, and the iterated
+    fleet path has its own test (test_opt_iters_fleet_pallas...)."""
+    cfg = load_config("configs/quadrotor3d.yaml").replace(
+        samples=300, horizon=10, opt_iters=1
+    )
     _fleet_vs_single_pallas(cfg, B=2)
 
 
