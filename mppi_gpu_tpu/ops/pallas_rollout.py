@@ -452,6 +452,30 @@ def _kernel_sid(seed0, plan: PallasPlan):
 _P_SIGMA, _P_INVS = 0, 1
 
 
+def _sincos_small(x):
+    """(sin x, cos x) for the SMALL per-step half-increment angles of the
+    trig-carry families, as degree-7/8 Taylor polynomials — no range
+    reduction, because the argument is bounded by construction: the
+    increments are (rate · dt/2)-shaped, the on-chip Box-Muller sampler
+    caps noise at √(2·24·ln2) ≈ 5.8σ (24-bit uniform), and the trig-carry
+    families' rates are either saturated (arm: |qd| ≤ 12 → |δ| ≤ 0.1),
+    directly noise-capped (unicycle: |δ| ≤ 0.21 at bench σ), or slow
+    integrals of capped torques (quadrotor/cartpole: |δ| ≲ 0.2 in any
+    reachable rollout). Truncation error ≤ |x|⁹/9! (sin) and |x|¹⁰/10!
+    (cos): at |x| = 0.5 that is 5.4e-9 / 2.7e-10 — BELOW one f32 ulp of
+    the result, so the values are within a bit of the correctly-rounded
+    transcendental across the entire physical range (and still ~2e-6
+    relative at an absurd |x| = 1, far inside every oracle tolerance).
+    Replaces a ~34-poly-op range-reduced transcendental chain with ~5 ops
+    (docs/kernels.md 'removing math')."""
+    x2 = x * x
+    s = x * (1.0 + x2 * (-1.0 / 6.0 + x2 * (1.0 / 120.0 + x2 * (-1.0 / 5040.0))))
+    c = 1.0 + x2 * (
+        -0.5 + x2 * (1.0 / 24.0 + x2 * (-1.0 / 720.0 + x2 * (1.0 / 40320.0)))
+    )
+    return s, c
+
+
 class _LTIQuadFamily:
     """Analytic LTI double-integrator + quadratic cost — the reference's own
     model (src/point_mass_gpu.cu:97-106, src/cost.cu:42-64). State (q, qd),
@@ -617,31 +641,45 @@ class _PendulumFamily:
         w_ang, w_vel = col(cls._WANG), col(cls._WVEL)
         gl, iml2, damp = col(cls._GL), col(cls._IML2), col(cls._DAMP)
 
-        def accel(th, thd, u):
-            return gl * jnp.sin(th) + iml2 * u - damp * thd
+        def accel_s(s_th, thd, u):
+            # mirrors PendulumDynamics accel on a precomputed sin θ
+            return gl * s_th + iml2 * u - damp * thd
 
-        def state_cost(th, thd):
-            return w_ang * (1.0 - jnp.cos(th)) + w_vel * thd * thd
+        def state_cost(c_th, thd):
+            # the wrap-safe angle term consumes the CARRIED cos θ
+            return w_ang * (1.0 - c_th) + w_vel * thd * thd
 
         def carry0():
+            # carry = (θ̇, sin θ, cos θ): θ itself is not carried — the
+            # dynamics consume sin, the cost cos, and both advance by
+            # small-angle-δ additions (δ = θ̇·dt/2; see _sincos_small).
+            # With REAL δ trig this form was measured-NEGATIVE (3 → 4
+            # transcendentals); the ~5-op Taylor pairs flip it to 3 → 0.
+            th = jnp.broadcast_to(col(cls._X0TH), (SUB, KB))
             return (
-                jnp.broadcast_to(col(cls._X0TH), (SUB, KB)),
                 jnp.broadcast_to(col(cls._X0THD), (SUB, KB)),
+                jnp.sin(th), jnp.cos(th),
             )
 
         def step(state, u_eff):
-            th, thd = state
-            # RK2 midpoint — must mirror PendulumDynamics.step exactly
-            k1_th, k1_thd = thd, accel(th, thd, u_eff)
-            th_m = th + 0.5 * dt * k1_th
+            thd, s_th, c_th = state
+            # RK2 midpoint — mirrors PendulumDynamics.step to f32 rounding
+            # (θm = θ + δ1, θ' = θm + δ2 by angle addition)
+            k1_thd = accel_s(s_th, thd, u_eff)
+            s_d1, c_d1 = _sincos_small(0.5 * dt * thd)
+            s_m = s_th * c_d1 + c_th * s_d1
+            c_m = c_th * c_d1 - s_th * s_d1
             thd_m = thd + 0.5 * dt * k1_thd
-            k2_th, k2_thd = thd_m, accel(th_m, thd_m, u_eff)
-            th = th + dt * k2_th
+            k2_thd = accel_s(s_m, thd_m, u_eff)
+            s_d2, c_d2 = _sincos_small(0.5 * dt * thd + 0.5 * dt * dt * k1_thd)
+            s_th = s_m * c_d2 + c_m * s_d2
+            c_th = c_m * c_d2 - s_m * s_d2
             thd = thd + dt * k2_thd
-            return (th, thd), state_cost(th, thd)
+            return (thd, s_th, c_th), state_cost(c_th, thd)
 
         def final(state):
-            return state_cost(*state)
+            thd, s_th, c_th = state
+            return state_cost(c_th, thd)
 
         return carry0, step, final
 
@@ -727,13 +765,16 @@ class _CartPoleFamily:
             # addition; θ' = θm + δ2 (δ2 = θ̇·dt/2 + θ̈1·dt²/2) by a second
             pdd1, thdd1 = accel_trig(s_th, c_th, thd, u_eff)
             d1 = 0.5 * dt * thd
-            s_d1, c_d1 = jnp.sin(d1), jnp.cos(d1)
+            # δ trig via the small-angle Taylor pair (|δ| ≲ 0.2 at
+            # dt = 0.03 — see _sincos_small): zero transcendentals per
+            # step beside the two mass-matrix divides
+            s_d1, c_d1 = _sincos_small(d1)
             s_m = s_th * c_d1 + c_th * s_d1
             c_m = c_th * c_d1 - s_th * s_d1
             thd_m = thd + 0.5 * dt * thdd1
             pdd2, thdd2 = accel_trig(s_m, c_m, thd_m, u_eff)
             d2 = d1 + 0.5 * dt * dt * thdd1
-            s_d2, c_d2 = jnp.sin(d2), jnp.cos(d2)
+            s_d2, c_d2 = _sincos_small(d2)
             pd_m = pd + 0.5 * dt * pdd1
             p = p + dt * pd_m
             s_th = s_m * c_d2 + c_m * s_d2
@@ -966,12 +1007,15 @@ class _QuadrotorFamily:
             # angular acceleration enters here) by a second addition
             ax1, az1, al1 = accels_trig(s_th, c_th, F, D)
             d1 = 0.5 * dt * om
-            s_d1, c_d1 = jnp.sin(d1), jnp.cos(d1)
+            # δ trig via the small-angle Taylor pair (|δ| ≲ 0.2 in any
+            # reachable rollout at dt = 1/60 — see _sincos_small):
+            # zero transcendentals per step
+            s_d1, c_d1 = _sincos_small(d1)
             s_m = s_th * c_d1 + c_th * s_d1
             c_m = c_th * c_d1 - s_th * s_d1
             ax2, az2, al2 = accels_trig(s_m, c_m, F, D)
             d2 = d1 + 0.5 * dt * dt * al1
-            s_d2, c_d2 = jnp.sin(d2), jnp.cos(d2)
+            s_d2, c_d2 = _sincos_small(d2)
             state = (
                 px + dt * (vx + 0.5 * dt * ax1),
                 pz + dt * (vz + 0.5 * dt * az1),
@@ -1121,11 +1165,14 @@ class _UnicycleFamily:
         def step_core(state, acts):
             px, py, s_th, c_th = state
             v, om = acts
-            # δ = ω·dt/2: the ONLY trig of the step; midpoint and new-state
-            # headings are angle-additions (θm = θ+δ, θ' = θm+δ) — mirrors
+            # δ = ω·dt/2: bounded small (|δ| ≤ ~0.21 — ω is noise-capped by
+            # the 5.8σ Box-Muller radius), so its trig is the small-angle
+            # Taylor pair; midpoint and new-state headings are
+            # angle-additions (θm = θ+δ, θ' = θm+δ) — mirrors
             # UnicycleDynamics.step's RK2 midpoint to f32 rounding
+            # (zero transcendentals per step beside the bearing rsqrt)
             d = 0.5 * dt * om
-            s_d, c_d = jnp.sin(d), jnp.cos(d)
+            s_d, c_d = _sincos_small(d)
             s_m = s_th * c_d + c_th * s_d
             c_m = c_th * c_d - s_th * s_d
             s_n = s_m * c_d + c_m * s_d
@@ -1296,39 +1343,48 @@ class _ArmFamily:
             vel = qd1 * qd1 + qd2 * qd2
             return w_pos * (dx * dx + dy * dy) + w_vel * vel
 
+        def rot(s, c, s_d, c_d):
+            # angle addition: trig of (θ + δ) from trig of θ and of δ
+            return s * c_d + c * s_d, c * c_d - s * s_d
+
         def carry0():
-            # carry = (q1, q2, qd1, qd2, s1, c1, s2, c2): the state's trig
-            # rides the loop carry — computed once per state, consumed by
-            # the cost AND the next step's first RK2 stage (12 → 8
-            # transcendentals per step, measured 10.2 → 6.75 ms at K=1e5)
+            # carry = (qd1, qd2, s1, c1, s2, c2): the joint ANGLES are not
+            # carried at all — every consumer (dynamics stages, FK cost)
+            # reads their trig, which advances by small-angle-δ additions
+            # (|δ| ≤ max_rate·dt = 0.2, strictly bounded by the rate
+            # saturation — see _sincos_small). 12 transcendentals/step
+            # naively → 8 (carried trig, round 5a) → 0 (poly-δ, round 5b).
             bc = lambda v: jnp.broadcast_to(  # noqa: E731
                 jnp.asarray(v, jnp.float32), (SUB, KB)
             )
             q = [bc(P(cls._X0 + i)) for i in range(4)]
-            return (*q, *trig_of(q[0], q[1]))
+            return (q[2], q[3], *trig_of(q[0], q[1]))
 
         def step_core(state, acts):
-            q1, q2, qd1, qd2 = state[:4]
-            trig = state[4:]
+            qd1, qd2 = state[:2]
+            trig = state[2:]
+            s1, c1, s2, c2 = trig
             t1, t2 = acts
             # RK2 midpoint + rate saturation after each stage — mirrors
-            # TwoLinkArmDynamics.step exactly
+            # TwoLinkArmDynamics.step to f32 rounding (midpoint/new-state
+            # trig by angle addition with Taylor-δ pairs)
             qdd1, qdd2 = deriv(qd1, qd2, t1, t2, trig)
-            q1m = q1 + 0.5 * dt * qd1
-            q2m = q2 + 0.5 * dt * qd2
+            sd1, cd1 = _sincos_small(0.5 * dt * qd1)
+            sd2, cd2 = _sincos_small(0.5 * dt * qd2)
+            trig_m = (*rot(s1, c1, sd1, cd1), *rot(s2, c2, sd2, cd2))
             qd1m = sat(qd1 + 0.5 * dt * qdd1)
             qd2m = sat(qd2 + 0.5 * dt * qdd2)
-            qdd1m, qdd2m = deriv(qd1m, qd2m, t1, t2, trig_of(q1m, q2m))
-            q1n = q1 + dt * qd1m
-            q2n = q2 + dt * qd2m
+            qdd1m, qdd2m = deriv(qd1m, qd2m, t1, t2, trig_m)
+            sn1, cn1 = _sincos_small(dt * qd1m)
+            sn2, cn2 = _sincos_small(dt * qd2m)
+            trig_n = (*rot(s1, c1, sn1, cn1), *rot(s2, c2, sn2, cn2))
             qd1n = sat(qd1 + dt * qdd1m)
             qd2n = sat(qd2 + dt * qdd2m)
-            trig_n = trig_of(q1n, q2n)
-            state = (q1n, q2n, qd1n, qd2n, *trig_n)
+            state = (qd1n, qd2n, *trig_n)
             return state, state_cost(qd1n, qd2n, trig_n)
 
         def final_core(state):
-            return state_cost(state[2], state[3], state[4:])
+            return state_cost(state[0], state[1], state[2:])
 
         return carry0, step_core, final_core
 
