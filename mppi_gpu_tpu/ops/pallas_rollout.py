@@ -751,8 +751,9 @@ class _CartPoleFamily:
         def carry0():
             # carry = (p, sin θ, cos θ, ṗ, θ̇): θ itself is not carried —
             # dynamics and cost only ever consume its trig (round-5
-            # trig-carry form: 5 → 4 transcendentals/step + 2 divides; the
-            # angle-addition identities are f32 rounding vs the host twin)
+            # trig-carry + Taylor-δ form: 5 transcendentals/step → 0, with
+            # the 2 mass-matrix divides remaining; the angle-addition
+            # identities and sub-ulp δ pairs are f32 rounding vs the twin)
             bc = lambda i: jnp.broadcast_to(col(i), (SUB, KB))  # noqa: E731
             th = bc(cls._X0TH)
             return (bc(cls._X0P), jnp.sin(th), jnp.cos(th), bc(cls._X0PD),
@@ -989,9 +990,9 @@ class _QuadrotorFamily:
         def carry0():
             # carry = (px, pz, sin θ, cos θ, vx, vz, ω): θ itself is not
             # carried — dynamics and cost only ever consume its trig
-            # (round-5 trig-carry form, the arm family's pattern: 5 → 4
-            # transcendentals/step; the angle-addition identities are f32
-            # rounding vs the host twin's direct trig)
+            # (round-5 trig-carry + Taylor-δ form: 5 transcendentals/step
+            # → 0; the angle-addition identities and sub-ulp δ pairs are
+            # f32 rounding vs the host twin's direct trig)
             bc = lambda v: jnp.broadcast_to(  # noqa: E731
                 jnp.asarray(v, jnp.float32), (SUB, KB)
             )
@@ -1099,15 +1100,17 @@ class _UnicycleFamily:
     dynamics, sin/cos of the NEW heading for the bearing cost, and the
     bearing rsqrt. Instead the heading's (sin, cos) ride the loop carry
     (θ itself is not carried — nothing consumes it), and each step
-    computes only sin/cos of the half-increment δ = ω·dt/2; the midpoint
-    trig is one angle-addition from the carried trig, the new-state trig
-    a second angle-addition by the same δ (θ' = θm + δ exactly, since the
-    heading rate is constant within a step), and the cost consumes the
-    carried trig for free → 2 transcendentals + 1 rsqrt per step
-    (measured 3.27 → 2.45 ms at K=10⁵, T=200). The identities introduce only f32
-    rounding vs the host twin's direct sin(θm)/sin(θ') (random-walk drift
-    ~1e-6 over T=200, inside every oracle tolerance — same argument as
-    the arm's carried trig)."""
+    computes only the trig of the half-increment δ = ω·dt/2 — via the
+    small-angle Taylor pair (`_sincos_small`; |δ| ≤ ~0.21, ω noise-capped
+    by the Box-Muller 5.8σ radius); the midpoint trig is one
+    angle-addition from the carried trig, the new-state trig a second
+    angle-addition by the same δ (θ' = θm + δ exactly, since the heading
+    rate is constant within a step), and the cost consumes the carried
+    trig for free → ZERO range-reduced transcendentals + 1 rsqrt per step
+    (measured 3.27 → 2.45 → 1.07 ms at K=10⁵, T=200 across the round-5
+    steps). The identities and the sub-ulp Taylor pairs introduce only
+    f32 rounding vs the host twin's direct sin(θm)/sin(θ') (random-walk
+    drift ~1e-6 over T=200, inside every oracle tolerance)."""
 
     name = "unicycle"
     NP = 9  # sigma, inv_s, w_pos, w_head, gx, gy, x0 px/py/θ
@@ -1252,11 +1255,16 @@ class _ArmFamily:
     ops/cost.py ArmReachCost): RK2-midpoint of the manipulator equations
     with the closed-form 2×2 mass-matrix inverse and joint-rate saturation
     after each stage, plus the end-effector reach cost. A=2 COUPLED action
-    dims (τ1, τ2) → G=4 rollout groups per tile (pair_dup pattern); four
-    state tiles (q1, q2, qd1, qd2); the first family with a
-    configuration-dependent mass matrix — 12 transcendentals per step
-    (4 trig × 2 RK2 stages for the dynamics + 4 for the cost FK) and one
-    reciprocal per stage, the most trig-heavy family in the registry."""
+    dims (τ1, τ2) → G=4 rollout groups per tile in the row-packed form
+    (pair_dup pattern); the first family with a configuration-dependent
+    mass matrix. Naively the most trig-heavy step in the registry — 12
+    transcendentals (4 trig × 2 RK2 stages + 4 for the cost FK) — reduced
+    in round 5 to ZERO range-reduced transcendentals: both joint angles
+    leave the carry entirely (every consumer reads their trig, advanced by
+    small-angle Taylor-δ additions, |δ| ≤ max_rate·dt = 0.2 strictly via
+    the rate saturation; see `_sincos_small`), with one reciprocal per
+    RK2 stage remaining. Measured 10.2 (naive) → 6.75 (carried trig) →
+    3.75 (state-planar) → 1.75 ms (Taylor δ) at K=10⁵, T=200."""
 
     name = "arm"
     NP = 19  # sigma, inv_s, w_pos, w_vel, tx, ty, A, B, D, G1, G2,
