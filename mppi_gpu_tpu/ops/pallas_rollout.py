@@ -467,7 +467,18 @@ def _sincos_small(x):
     transcendental across the entire physical range (and still ~2e-6
     relative at an absurd |x| = 1, far inside every oracle tolerance).
     Replaces a ~34-poly-op range-reduced transcendental chain with ~5 ops
-    (docs/kernels.md 'removing math')."""
+    (docs/kernels.md 'removing math').
+
+    Out-of-range behavior (|x| ≳ 1): the polynomial diverges like x⁹/9!
+    instead of staying bounded. The only reachable path there is a rollout
+    whose dynamics are ALREADY exploding (e.g. the cart-pole's θ̇²
+    feedback blowup — which diverges with true trig too, just shaped
+    differently): such rollouts carry astronomically large cost, their
+    softmin weight underflows to exactly 0, and f32 overflow propagates to
+    inf → the divergence guard exactly as on the true-trig path (tested:
+    tests/test_pallas.test_taylor_delta_extreme_state_stays_finite). A
+    user family with a LARGE step angle by construction (huge dt × rate
+    with no saturation) should not adopt this helper — use jnp.sin/cos."""
     x2 = x * x
     s = x * (1.0 + x2 * (-1.0 / 6.0 + x2 * (1.0 / 120.0 + x2 * (-1.0 / 5040.0))))
     c = 1.0 + x2 * (

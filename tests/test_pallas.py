@@ -991,3 +991,49 @@ def test_planar_costs_only_floor_program():
             jnp.zeros((T, 1), jnp.float32), key, jnp.asarray([1.0]), K=K,
             testmode=True, interpret=True,
         )
+
+
+def test_taylor_delta_extreme_state_stays_finite():
+    """_sincos_small out-of-range semantics: from an extreme state whose
+    rollouts explode (cart-pole with absurd rates), the fused solve must
+    behave like the true-trig path — finite softmin output with weights
+    summing to 1 (diverged rollouts' weights underflow to 0), or NaN that
+    the divergence guard catches — never a silently-wrong finite action
+    from a healthy-looking state."""
+    from mppi_gpu_tpu.models.cartpole import CartPoleDynamics
+    from mppi_gpu_tpu.ops.cost import CartPoleBalanceCost
+    from mppi_gpu_tpu.ops.softmin import softmin_weights
+
+    dyn = CartPoleDynamics.create(0.03)
+    cost = CartPoleBalanceCost(
+        w=jnp.asarray([0.5, 20.0, 0.05, 0.1]), lambda_=jnp.float32(0.3),
+        inv_s=jnp.asarray([1.0]),
+    )
+    K, T = 256, 30
+    U = jnp.zeros((T, 1), jnp.float32)
+    sigma = jnp.asarray([3.0])
+    # |thd| = 40 rad/s: delta = 0.6+ — outside the Taylor bound, and the
+    # true dynamics blow up from here too (thd^2 feedback)
+    x_ext = jnp.asarray([0.0, 3.0, 0.0, 40.0])
+    S, dU = pr.pallas_fused_solve_core(
+        dyn, cost, x_ext, U, jax.random.key(2), sigma, jnp.float32(0.3),
+        K=K, testmode=True, interpret=True,
+    )
+    S = np.asarray(S)
+    finite = np.isfinite(S[:K])
+    if finite.any():
+        w = softmin_weights(jnp.asarray(S), jnp.float32(0.3)).weights
+        np.testing.assert_allclose(float(jnp.sum(w)), 1.0, rtol=1e-4)
+        assert np.all(np.isfinite(np.asarray(dU)))
+    # sanity: a HEALTHY state from the same setup must still match the
+    # scan oracle exactly (the approximation only degrades where the
+    # dynamics already diverge)
+    plan = pr.make_plan(K, T, 1, testmode=True, family="cartpole")
+    eps_ref = pr.fake_noise_tensor(plan, sigma, key=jax.random.key(2))
+    x_ok = jnp.asarray([0.1, 0.2, 0.0, 0.0])
+    S2, _ = pr.pallas_fused_solve_core(
+        dyn, cost, x_ok, U, jax.random.key(2), sigma, jnp.float32(0.3),
+        K=K, testmode=True, interpret=True,
+    )
+    S2_oracle = rollout_costs(dyn, cost, x_ok, U, eps_ref[:, :K, :])
+    np.testing.assert_allclose(np.asarray(S2[:K]), np.asarray(S2_oracle), rtol=5e-5)
