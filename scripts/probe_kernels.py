@@ -71,8 +71,24 @@ def main(argv=None) -> int:
         U = ctrl.init_action_seq()
         dyn, cost, sigma, lam = ctrl.dynamics, ctrl.cost, ctrl.sigma, ctrl.lambda_
 
+        plan = pr.make_plan(
+            K, T, U.shape[1], family=pr.family_for(dyn, cost),
+            extra=pr._plan_extra(pr.FAMILIES[pr.family_for(dyn, cost)], cost),
+        )
+        if plan.planar:
+            # the shipped path is planar: probe ITS costs-only floor (same
+            # stream + staging); kernel A (row-packed) is a different
+            # program and reads as 'beats two-kernel A' in the bench table
+            _time(
+                f"[{fam}] planar costs-only (floor)",
+                lambda dyn, cost, x, U, sigma, key: pr.pallas_planar_rollout_costs(
+                    dyn, cost, x, U, key, sigma, K=K
+                ),
+                (dyn, cost, x, U, sigma),
+                K, args.iters,
+            )
         _time(
-            f"[{fam}] kernel A (noise+dyn+cost only)",
+            f"[{fam}] kernel A (row-packed, noise+dyn+cost)",
             lambda dyn, cost, x, U, sigma, key: pr.pallas_rollout_costs(
                 dyn, cost, x, U, key, sigma, K=K
             ),
