@@ -1037,3 +1037,57 @@ def test_taylor_delta_extreme_state_stays_finite():
     )
     S2_oracle = rollout_costs(dyn, cost, x_ok, U, eps_ref[:, :K, :])
     np.testing.assert_allclose(np.asarray(S2[:K]), np.asarray(S2_oracle), rtol=5e-5)
+
+
+@pytest.mark.parametrize("K,T", [(1, 1), (7, 2), (513, 3)])
+def test_coupled_planar_geometry_edges(K, T):
+    """Tiny/odd K and T for the coupled state-planar kernels (the
+    reference's test.cu sweeps n=1..59 x t=1..99 for the same reason:
+    padding and tile-boundary bugs live at the edges). Unicycle (A=2)
+    and quadrotor3d (A=4, 13 state tiles) vs the planar host-twin
+    oracle; padded ranks must carry BIG."""
+    from mppi_gpu_tpu.models.quadrotor3d import Quadrotor3DDynamics
+    from mppi_gpu_tpu.models.unicycle import UnicycleDynamics
+    from mppi_gpu_tpu.ops.cost import Quadrotor3DHoverCost, UnicycleWaypointCost
+
+    cases = []
+    dyn_u = UnicycleDynamics.create(0.05)
+    cost_u = UnicycleWaypointCost(
+        w=jnp.asarray([4.0, 1.0]), goal=jnp.asarray([2.0, 1.0, 0.0]),
+        lambda_=jnp.float32(0.3), inv_s=jnp.asarray([1.0, 0.7]),
+    )
+    cases.append((dyn_u, cost_u, jnp.asarray([0.1, -0.2, 0.4]), 2,
+                  jnp.asarray([0.6, 1.0])))
+    dyn_q = Quadrotor3DDynamics.create(
+        1 / 60, mass=0.75, inertia=(0.004, 0.005, 0.008), gravity=9.81
+    )
+    cost_q = Quadrotor3DHoverCost(
+        w=jnp.asarray([4.0, 4.0, 4.0, 10.0, 3.0, 3.0, 3.0, 0.5]),
+        goal=jnp.asarray([1.0, 0.5, 1.0, 1.0] + [0.0] * 9),
+        lambda_=jnp.float32(0.3), inv_s=jnp.asarray([1.0, 0.7, 0.7, 0.7]),
+    )
+    x0_q = jnp.concatenate([
+        jnp.asarray([-1.0, 0.0, 0.5]), jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+        jnp.asarray([0.2, 0.0, 0.1]), jnp.asarray([0.0, 0.1, 0.0]),
+    ])
+    cases.append((dyn_q, cost_q, x0_q, 4,
+                  jnp.asarray([1.2, 0.04, 0.04, 0.008])))
+
+    for dyn, cost, x0, A, sigma in cases:
+        fam = pr.family_for(dyn, cost)
+        t = jnp.arange(T, dtype=jnp.float32)
+        U = jnp.stack([0.3 * jnp.sin(0.3 * t + i) for i in range(A)], axis=1)
+        key = jax.random.key(K + T)
+        plan = pr.make_plan(K, T, A, testmode=True, family=fam)
+        assert plan.planar, (fam, plan)
+        eps_ref = pr.planar_fake_noise_tensor(plan, sigma, key=key)
+        S, dU = pr.pallas_fused_solve_core(
+            dyn, cost, x0, U, key, sigma, jnp.float32(0.4), K=K,
+            testmode=True, interpret=True,
+        )
+        S_oracle = rollout_costs(dyn, cost, x0, U, eps_ref[:, :K, :])
+        np.testing.assert_allclose(
+            np.asarray(S[:K]), np.asarray(S_oracle), rtol=2e-4, atol=1e-5
+        )
+        assert np.all(np.asarray(S[K:]) > 1e37), fam
+        assert np.all(np.isfinite(np.asarray(dU))), fam
