@@ -306,25 +306,33 @@ def bench_floor(K: int, T: int, backend: str, iters: int,
             K, T, A, antithetic, cfg.noise_beta, family=fam,
             extra=pr._plan_extra(pr.FAMILIES[fam], ctrl.cost),
         )
+        # checksum over the REAL rollouts without the rank-order view:
+        # S[:K] forces the antithetic rank-order GATHER (_anti_perm, a
+        # ~100k-element gather worth ~0.5-0.8 ms on TPU) that the real
+        # solve's chained consumer DCEs away — it made the anti floor
+        # programs read SLOWER than the solves they floor. The padded
+        # entries carry BIG, so a where-masked sum (elementwise, no
+        # gather) selects exactly the K real rollouts.
+        def _checksum(S):
+            return jnp.sum(jnp.where(S < 1e37, S, 0.0))
+
         if plan.planar:
             # planar plans get their TRUE floor: the costs-only PLANAR
             # sweep (same stream, same staging, no softmin/update) —
             # kernel A would be the wrong geometry (row-packed) and reads
             # as "beats two-kernel A" instead of a utilization
             def costs_only(key):
-                S = pr.pallas_planar_rollout_costs(
+                return _checksum(pr.pallas_planar_rollout_costs(
                     ctrl.dynamics, ctrl.cost, x, U0, key, ctrl.sigma,
                     K=K, antithetic=antithetic, ou_beta=cfg.noise_beta,
-                )
-                return jnp.sum(S[:K])
+                ))
         else:
 
             def costs_only(key):
-                S = pr.pallas_rollout_costs(
+                return _checksum(pr.pallas_rollout_costs(
                     ctrl.dynamics, ctrl.cost, x, U0, key, ctrl.sigma,
                     K=K, antithetic=antithetic, ou_beta=cfg.noise_beta,
-                )
-                return jnp.sum(S[:K])
+                ))
     else:
 
         def costs_only(key):
