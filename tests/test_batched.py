@@ -194,7 +194,7 @@ def test_fleet_pallas_arm():
     """Eighth family through the fleet kernel: configuration-dependent mass
     matrix + the carried-trig step (A=2, G=4, 8 state+trig tiles)."""
     cfg = load_config("configs/arm.yaml").replace(
-        samples=300, horizon=10, noise_beta=0.0
+        samples=300, horizon=10, noise_beta=0.0, opt_iters=1
     )
     _fleet_vs_single_pallas(cfg, B=2)
 
